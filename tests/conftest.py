@@ -1,0 +1,23 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+This is the TPU build's analogue of the reference CI running the NEON
+build under qemu (SURVEY.md section 4): the full correctness matrix runs
+without TPU hardware, and sharding tests get 8 virtual devices.
+Set VITERBI_TEST_TPU=1 to run against real devices instead.
+
+Note: this image's axon sitecustomize imports jax and pins
+JAX_PLATFORMS=axon at interpreter startup, so plain env vars are too
+late; we override through jax.config before any backend initialises.
+"""
+
+import os
+
+if not os.environ.get("VITERBI_TEST_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,117 @@
+"""JAX XLA path vs the NumPy oracle, plus the public ViterbiDecoder API."""
+
+import numpy as np
+import pytest
+
+from viterbidecodercpp_tpu import (
+    COMMON_CODES,
+    DecodeType,
+    ViterbiDecoder,
+    get_code,
+    get_decode_config,
+)
+from viterbidecodercpp_tpu.ops import jax_core, numpy_ref as ref
+
+
+def make_batch(code, config, nbytes, batch, seed=0, noise=0):
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, (batch, nbytes), dtype=np.uint8)
+    syms = np.stack([
+        ref.encode_bytes(code, d, config.soft_decision_high,
+                         config.soft_decision_low) for d in data
+    ]).astype(np.int64)
+    if noise:
+        syms = np.clip(syms + rng.randint(-noise, noise + 1, syms.shape),
+                       config.soft_decision_low, config.soft_decision_high)
+    return data, syms
+
+
+@pytest.mark.parametrize("code_idx", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("decode_type", [DecodeType.SOFT16, DecodeType.SOFT8,
+                                         DecodeType.HARD8])
+def test_acs_matches_oracle(code_idx, decode_type):
+    code = COMMON_CODES[code_idx]
+    config = get_decode_config(decode_type, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_batch(code, config, 6, batch=3, noise=1)
+    B = syms.shape[0]
+    T = syms.shape[1] // code.R
+
+    m0 = jax_core.initial_metrics(spec, B)
+    metrics, packed, acc = jax_core.acs_scan(
+        spec, m0, syms.reshape(B, T, code.R))
+    metrics = np.asarray(metrics)
+    packed = np.asarray(packed)
+    acc = np.asarray(acc)
+
+    for b in range(B):
+        em, ed, ea = ref.acs_run(code, config, syms[b])
+        np.testing.assert_array_equal(metrics[b], em, err_msg=f"frame {b}")
+        assert acc[b] == ea
+        # unpack packed decisions and compare
+        got = np.zeros((T, spec.S), np.uint8)
+        for w in range(spec.W):
+            width = min(32, spec.S)
+            for i in range(width):
+                got[:, w * 32 + i] = (packed[:, b, w] >> i) & 1
+        np.testing.assert_array_equal(got, ed, err_msg=f"frame {b}")
+
+
+@pytest.mark.parametrize("code_idx", [0, 2, 4, 6])
+def test_chainback_matches_oracle(code_idx):
+    code = COMMON_CODES[code_idx]
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_batch(code, config, 8, batch=2, noise=20)
+    B = syms.shape[0]
+    T = syms.shape[1] // code.R
+    total_bits = 8 * 8
+
+    m0 = jax_core.initial_metrics(spec, B)
+    _, packed, _ = jax_core.acs_scan(spec, m0, syms.reshape(B, T, code.R))
+    import jax.numpy as jnp
+    bits = np.asarray(jax_core.chainback_scan(
+        spec, packed, jnp.zeros(B, jnp.int32), total_bits))
+
+    for b in range(B):
+        _, ed, _ = ref.acs_run(code, config, syms[b])
+        expect = ref.traceback(code, ed, total_bits, 0)
+        np.testing.assert_array_equal(bits[b], expect, err_msg=f"frame {b}")
+
+
+@pytest.mark.parametrize("decode_type", [DecodeType.SOFT16, DecodeType.SOFT8,
+                                         DecodeType.HARD8])
+def test_decoder_api_roundtrip(decode_type):
+    code = get_code("Voyager")
+    dec = ViterbiDecoder(code, decode_type, backend="xla")
+    config = dec.config
+    data, syms = make_batch(code, config, 16, batch=4, noise=0)
+    bits, err, acc = dec.decode(syms, 16 * 8)
+    out = np.packbits(np.asarray(bits), axis=-1, bitorder="big")
+    np.testing.assert_array_equal(out, data)
+    assert np.asarray(err).shape == (4,)
+
+
+def test_decoder_incremental_update():
+    code = get_code("DAB Radio")
+    dec = ViterbiDecoder(code, DecodeType.SOFT16, backend="xla",
+                         traceback_length=8 * 8)
+    config = dec.config
+    data, syms = make_batch(code, config, 8, batch=2, noise=0)
+    state = dec.reset(2)
+    # feed R symbols at a time (one decoded bit per call), like the
+    # depuncture loop (helpers/puncture_code_helpers.h:51)
+    step = code.R
+    for i in range(0, syms.shape[1], step * 4):
+        state = dec.update(state, syms[:, i:i + step * 4])
+    out = dec.chainback_bytes(state, 8 * 8)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_cassini_k15_roundtrip_xla():
+    code = get_code("Cassini")
+    dec = ViterbiDecoder(code, DecodeType.SOFT16, backend="xla")
+    data, syms = make_batch(code, dec.config, 2, batch=1)
+    bits, _, _ = dec.decode(syms, 2 * 8)
+    out = np.packbits(np.asarray(bits), axis=-1, bitorder="big")
+    np.testing.assert_array_equal(out, data)

@@ -1,0 +1,187 @@
+"""Public decoder API: functional carry + a reference-shaped wrapper.
+
+The reference exposes a stateful core (``ViterbiDecoder_Core``:
+``reset`` / ``update`` / ``chainback`` / ``get_error``,
+viterbi_decoder_core.h:157-243) whose key property is *incremental
+decoding*: ``update`` may be called repeatedly in arbitrary chunks before
+one ``chainback`` (proof: per-bit updates in
+helpers/puncture_code_helpers.h:51).  The TPU-native design keeps that
+contract but makes the state an explicit pytree (:class:`DecoderState`) so
+it can be donated through ``jit``, carried across ``lax.scan`` steps, and
+sharded/shipped across hosts (SURVEY.md section 5 "checkpoint/resume").
+
+Everything is batched: a decoder instance processes ``batch`` independent
+frames at once (frame data-parallelism - the TPU replacement for the
+reference's thread-pool task parallelism, SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codes import CodeSpec
+from .config import DecoderConfig, DecodeType, get_decode_config
+from .ops import jax_core
+
+__all__ = ["DecoderState", "ViterbiDecoder"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecoderState:
+    """The resumable decode carry (a pytree).
+
+    Equivalent of the mutable members of ``ViterbiDecoder_Core``
+    (viterbi_decoder_core.h:237-242): the live metric vector, the decision
+    history, the renorm-error accumulator and the write cursor.
+    """
+
+    metrics: jnp.ndarray        # (B, S) int32
+    decisions: jnp.ndarray      # (T_cap, B, W) int32 packed decision rows
+    accumulated_error: jnp.ndarray  # (B,) int32 renormalisation total
+    bit_cursor: jnp.ndarray     # () int32 - next decision row to write
+
+    @property
+    def batch(self) -> int:
+        return self.metrics.shape[0]
+
+
+class ViterbiDecoder:
+    """Batched Viterbi decoder for one (code, config) pair.
+
+    API parity with the reference core plus kernels (SURVEY.md section 1
+    L1): ``reset`` ~ viterbi_decoder_core.h:202, ``update`` ~
+    viterbi_decoder_scalar.h:29 (and SIMD equivalents), ``chainback`` ~
+    viterbi_decoder_core.h:214, ``get_error`` ~ viterbi_decoder_core.h:195,
+    ``set_traceback_length`` ~ viterbi_decoder_core.h:180.
+
+    ``backend``:
+      * ``"xla"``    - pure jnp + lax.scan (portable; CPU/TPU).
+      * ``"pallas"`` - fused Pallas TPU kernel for the ACS hot loop.
+      * ``"auto"``   - pallas on TPU, xla elsewhere.
+    """
+
+    def __init__(self, code: CodeSpec, config: Union[DecoderConfig, DecodeType, str],
+                 *, traceback_length: int = 0, backend: str = "auto"):
+        if not isinstance(config, DecoderConfig):
+            config = get_decode_config(DecodeType(config), code.R)
+        self.code = code
+        self.config = config
+        self.spec = jax_core.make_static_spec(code, config)
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            if backend == "pallas":
+                try:
+                    from .ops import acs_pallas  # noqa: F401
+                except ImportError:
+                    backend = "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._traceback_length = int(traceback_length)
+
+    # -- capacity ---------------------------------------------------------
+    @property
+    def traceback_length(self) -> int:
+        """Max data bits the decision buffer can hold (excludes the K-1
+        tail rows, like get_traceback_length viterbi_decoder_core.h:189)."""
+        return self._traceback_length
+
+    def set_traceback_length(self, length: int) -> None:
+        self._traceback_length = int(length)
+
+    @property
+    def decision_rows(self) -> int:
+        return self._traceback_length + self.code.K - 1
+
+    # -- state ------------------------------------------------------------
+    def reset(self, batch: int, starting_state: int = 0) -> DecoderState:
+        """Fresh carry for ``batch`` frames (viterbi_decoder_core.h:202-211)."""
+        spec = self.spec
+        return DecoderState(
+            metrics=jax_core.initial_metrics(spec, batch, starting_state),
+            decisions=jnp.zeros((self.decision_rows, batch, spec.W), jnp.int32),
+            accumulated_error=jnp.zeros(batch, jnp.int32),
+            bit_cursor=jnp.zeros((), jnp.int32),
+        )
+
+    # -- hot path ---------------------------------------------------------
+    def update(self, state: DecoderState, symbols) -> DecoderState:
+        """Consume (B, N) soft symbols (N a multiple of R); returns the new
+        carry with N/R more decision rows written.
+
+        Incremental: call as many times as you like before ``chainback``,
+        exactly like the reference's chunked update
+        (run_punctured_decoder.cpp:258-282).
+        """
+        symbols = jnp.asarray(symbols)
+        B, N = symbols.shape
+        if N % self.code.R:
+            raise ValueError("symbol count must be a multiple of R")
+        nbits = N // self.code.R
+        return self._update_jit(self.spec, self.backend, state,
+                                symbols.reshape(B, nbits, self.code.R))
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+    def _update_jit(spec, backend, state: DecoderState,
+                    symbols: jnp.ndarray) -> DecoderState:
+        if backend == "pallas":
+            from .ops import acs_pallas
+            metrics, packed, acc = acs_pallas.acs_pallas(spec, state.metrics, symbols)
+        else:
+            metrics, packed, acc = jax_core.acs_scan(spec, state.metrics, symbols)
+        decisions = jax.lax.dynamic_update_slice_in_dim(
+            state.decisions, packed, state.bit_cursor, axis=0)
+        return DecoderState(
+            metrics=metrics,
+            decisions=decisions,
+            accumulated_error=state.accumulated_error + acc,
+            bit_cursor=state.bit_cursor + packed.shape[0],
+        )
+
+    # -- readout ----------------------------------------------------------
+    def get_error(self, state: DecoderState, end_state: int = 0) -> jnp.ndarray:
+        """(B,) normalised path metric at ``end_state``
+        (viterbi_decoder_core.h:195-199)."""
+        return state.metrics[:, end_state]
+
+    def chainback(self, state: DecoderState, total_bits: int,
+                  end_state: int = 0) -> jnp.ndarray:
+        """Trace back and return (B, total_bits) decoded data bits
+        (viterbi_decoder_core.h:214-236)."""
+        if total_bits > self._traceback_length:
+            raise ValueError("total_bits exceeds traceback_length")
+        B = state.batch
+        ends = jnp.full((B,), end_state, jnp.int32)
+        return jax_core.chainback_scan(self.spec, state.decisions, ends,
+                                       total_bits)
+
+    def chainback_bytes(self, state: DecoderState, total_bits: int,
+                        end_state: int = 0) -> np.ndarray:
+        """Host-side convenience: decoded bits packed MSB-first to bytes."""
+        bits = np.asarray(self.chainback(state, total_bits, end_state))
+        return np.packbits(bits, axis=-1, bitorder="big")
+
+    # -- one-shot convenience ----------------------------------------------
+    def decode(self, symbols, total_bits: int, *, end_state: int = 0
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """reset + update + chainback in one call.
+
+        Returns (bits (B, total_bits), final_error (B,), accumulated (B,)).
+        """
+        symbols = jnp.asarray(symbols)
+        B = symbols.shape[0]
+        needed = total_bits + self.code.K - 1
+        if self._traceback_length < total_bits:
+            self.set_traceback_length(total_bits)
+        state = self.reset(B)
+        state = self.update(state, symbols)
+        bits = self.chainback(state, total_bits, end_state)
+        return bits, self.get_error(state, end_state), state.accumulated_error

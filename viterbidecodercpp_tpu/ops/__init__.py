@@ -1,0 +1,1 @@
+"""Compute ops: encoders, trellis kernels (XLA and Pallas), chainback."""

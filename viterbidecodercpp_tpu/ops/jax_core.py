@@ -1,0 +1,235 @@
+"""Batched JAX implementation of the Viterbi trellis (XLA path).
+
+This is the portable compute path: pure ``jnp`` + ``lax.scan``, batched
+over frames, running on TPU/CPU without Pallas.  It is the executable
+specification the Pallas kernels are verified against, and the fallback
+backend everywhere Pallas is unavailable (e.g. host-CPU test meshes).
+
+Design notes (TPU-first, not a translation of the C++):
+  * All (K, R, dtype, mode) parameters are static Python values; ``jit``
+    specialises on them like the reference's templates
+    (README.md:20, SURVEY.md section 5 "config/flag system").
+  * Metrics live as an ``(B, S)`` int32 tensor (frames x states).  int32 is
+    the native VPU lane width; u8/u16 *semantics* are emulated by clipping
+    (saturating mode) or masking (wrapping mode), which XLA fuses into the
+    surrounding elementwise work for free.
+  * The butterfly interleave ``new[2h], new[2h+1]`` is a reshape of an
+    ``(B, H, 2)`` stack - the XLA/Mosaic analogue of the reference's
+    ``unpacklo/hi`` lane repacks (x86/viterbi_decoder_sse_u16.h:119-131).
+  * Decisions are bit-packed along the state axis into int32 words
+    (32 states per lane), the TPU stand-in for ``movemask``
+    (SURVEY.md section 7): ``word = sum_{s in word} dec_s << (s % 32)``.
+
+Reference semantics matched exactly (see ops/numpy_ref.py for the oracle):
+ACS recursion viterbi_decoder_scalar.h:58-135, renormalisation gate on the
+state-0 metric viterbi_decoder_scalar.h:48, chainback
+viterbi_decoder_core.h:214-236.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes import CodeSpec, branch_table
+from ..config import DecoderConfig
+
+__all__ = [
+    "StaticSpec",
+    "make_static_spec",
+    "acs_scan",
+    "chainback_scan",
+    "pack_decisions",
+    "initial_metrics",
+]
+
+DECISION_WORD_BITS = 32
+
+
+class StaticSpec(NamedTuple):
+    """Trace-time constants derived from (code, config).
+
+    The branch table rides along as a NumPy constant so it is embedded in
+    the compiled program (the shareable-table property of
+    viterbi_branch_table.h:17-18 falls out of XLA constant folding).
+    """
+
+    K: int
+    R: int
+    S: int              # 2**(K-1) states
+    H: int              # 2**(K-2) half states
+    W: int              # ceil(S / 32) packed decision words
+    bt: tuple           # (R, H) branch table as nested tuples (hashable)
+    max_error: int
+    metric_max: int
+    renorm_threshold: int
+    init_start: int
+    init_other: int
+    saturating: bool
+
+
+def make_static_spec(code: CodeSpec, config: DecoderConfig) -> StaticSpec:
+    bt = branch_table(code, config.soft_decision_high, config.soft_decision_low)
+    S = code.num_states
+    return StaticSpec(
+        K=code.K,
+        R=code.R,
+        S=S,
+        H=code.num_half_states,
+        W=max(S // DECISION_WORD_BITS, 1),
+        bt=tuple(tuple(int(v) for v in row) for row in bt),
+        max_error=config.soft_decision_max_error,
+        metric_max=config.metric_max,
+        renorm_threshold=config.renormalisation_threshold,
+        init_start=config.initial_start_error,
+        init_other=config.initial_non_start_error,
+        saturating=config.arith == "saturating",
+    )
+
+
+def initial_metrics(spec: StaticSpec, batch: int,
+                    starting_state: int = 0) -> jnp.ndarray:
+    """(B, S) int32 metric seed - reset() semantics
+    (viterbi_decoder_core.h:202-211)."""
+    m = jnp.full((batch, spec.S), spec.init_other, dtype=jnp.int32)
+    return m.at[:, starting_state & (spec.S - 1)].set(spec.init_start)
+
+
+def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
+                    sym: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One trellis step over a batch.
+
+    ``metrics``: (B, S) int32; ``sym``: (B, R) int32 soft symbols.
+    Returns (new_metrics (B, S), decisions (B, S) int32 in {0, 1}).
+    """
+    bt = jnp.asarray(np.asarray(spec.bt, dtype=np.int32))   # (R, H)
+    # Branch metric per half-state: sum_i |bt[i, h] - sym[b, i]|  -> (B, H)
+    bm = jnp.abs(bt[None, :, :] - sym[:, :, None]).sum(axis=1)
+    ibm = spec.max_error - bm
+    lo = metrics[:, : spec.H]
+    hi = metrics[:, spec.H:]
+    e00 = lo + bm
+    e10 = hi + ibm
+    e01 = lo + ibm
+    e11 = hi + bm
+    if spec.saturating:
+        cap = spec.metric_max
+        e00 = jnp.minimum(e00, cap)
+        e10 = jnp.minimum(e10, cap)
+        e01 = jnp.minimum(e01, cap)
+        e11 = jnp.minimum(e11, cap)
+        dec0 = (e10 <= e00).astype(jnp.int32)   # SIMD tie -> predecessor 1
+        dec1 = (e11 <= e01).astype(jnp.int32)
+    else:
+        mask = spec.metric_max
+        e00 = jnp.bitwise_and(e00, mask)
+        e10 = jnp.bitwise_and(e10, mask)
+        e01 = jnp.bitwise_and(e01, mask)
+        e11 = jnp.bitwise_and(e11, mask)
+        dec0 = (e00 > e10).astype(jnp.int32)    # scalar tie -> predecessor 0
+        dec1 = (e01 > e11).astype(jnp.int32)
+    new_even = jnp.where(dec0 == 1, e10, e00)
+    new_odd = jnp.where(dec1 == 1, e11, e01)
+    new_metrics = jnp.stack([new_even, new_odd], axis=-1).reshape(-1, spec.S)
+    decisions = jnp.stack([dec0, dec1], axis=-1).reshape(-1, spec.S)
+    return new_metrics, decisions
+
+
+def _renormalise(spec: StaticSpec, metrics: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame renorm, gated on the state-0 metric
+    (viterbi_decoder_scalar.h:48, renormalise 139-153)."""
+    gate = metrics[:, 0] >= spec.renorm_threshold        # (B,)
+    mins = metrics.min(axis=1)                            # (B,)
+    sub = jnp.where(gate, mins, 0)
+    return metrics - sub[:, None], sub
+
+
+def pack_decisions(spec: StaticSpec, decisions: jnp.ndarray) -> jnp.ndarray:
+    """Pack (…, S) {0,1} decisions into (…, W) int32 words, 32 states per
+    word, state ``s`` at bit ``s % 32`` of word ``s // 32`` - the layout of
+    ``ViterbiDecisionBits`` (viterbi_decoder_core.h:49-83) with a fixed
+    32-bit block size."""
+    if spec.S < DECISION_WORD_BITS:
+        shifts = jnp.arange(spec.S, dtype=jnp.int32)
+        return (decisions << shifts).sum(axis=-1, dtype=jnp.int32)[..., None]
+    shape = decisions.shape[:-1] + (spec.W, DECISION_WORD_BITS)
+    d = decisions.reshape(shape)
+    shifts = jnp.arange(DECISION_WORD_BITS, dtype=jnp.int32)
+    return (d << shifts).sum(axis=-1, dtype=jnp.int32)
+
+
+def _unpack_bit(spec: StaticSpec, words: jnp.ndarray,
+                state: jnp.ndarray) -> jnp.ndarray:
+    """Read the decision bit for ``state`` (B,) from packed words (B, W)."""
+    if spec.W == 1:
+        word = words[:, 0]
+    else:
+        # Select word s >> 5 per frame without gather: small masked sum.
+        widx = state >> 5
+        sel = (jnp.arange(spec.W, dtype=jnp.int32)[None, :] == widx[:, None])
+        word = jnp.sum(jnp.where(sel, words, 0), axis=1)
+    return (word >> (state & (DECISION_WORD_BITS - 1))) & 1
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def acs_scan(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run T trellis steps over a batch of frames.
+
+    Args:
+      metrics: (B, S) int32 carry from ``initial_metrics`` or a previous
+        call (the update API is incremental, like the reference's -
+        SURVEY.md section 5 "checkpoint/resume").
+      symbols: (B, T, R) int32 soft symbols.
+
+    Returns:
+      (metrics (B, S), packed decisions (T, B, W) int32,
+       accumulated renorm error (B,) int32).
+    """
+    B = symbols.shape[0]
+    sym_t = jnp.swapaxes(symbols, 0, 1).astype(jnp.int32)   # (T, B, R)
+
+    def step(carry, sym):
+        m, acc = carry
+        m, dec = _butterfly_step(spec, m, sym)
+        m, sub = _renormalise(spec, m)
+        return (m, acc + sub), pack_decisions(spec, dec)
+
+    (metrics, acc), packed = jax.lax.scan(
+        step, (metrics.astype(jnp.int32), jnp.zeros(B, jnp.int32)), sym_t)
+    return metrics, packed, acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def chainback_scan(spec: StaticSpec, packed: jnp.ndarray,
+                   end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
+    """Batched traceback over packed decisions.
+
+    Args:
+      packed: (T, B, W) int32 decision words with T >= total_bits + K - 1;
+        rows beyond ``total_bits + K - 1`` are ignored.
+      end_state: (B,) int32 states to start the walk from (0 after tail
+        termination).
+      total_bits: number of data bits to recover.
+
+    Returns (B, total_bits) uint8 data bits.  The recurrence and the
+    row/bit correspondence follow viterbi_decoder_core.h:214-236: the bit
+    read at row ``j + K - 1`` is data bit j, and
+    ``state <- (state >> 1) | (bit << (K-2))``.
+    """
+    Kb = spec.K - 1
+    rows = packed[Kb:Kb + total_bits]                 # (total_bits, B, W)
+    rows_rev = rows[::-1]
+
+    def step(state, words):
+        d = _unpack_bit(spec, words, state)
+        state = (state >> 1) | (d << (Kb - 1))
+        return state, d.astype(jnp.uint8)
+
+    _, bits_rev = jax.lax.scan(step, end_state.astype(jnp.int32), rows_rev)
+    return jnp.swapaxes(bits_rev[::-1], 0, 1)
