@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Headline benchmark: decoded symbols/s/chip for K=7 R=1/2 soft-8bit.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured pipeline is the full decode: batched ACS (Pallas kernel) +
+batched chainback (Pallas kernel), i.e. the same work the reference's
+run_benchmark times as update + chainback (run_benchmark.cpp:267-281).
+Timing uses an in-device fori_loop with the metric carry chained between
+iterations - a single dispatch whose iterations cannot overlap or be
+elided - so RPC/dispatch latency of the axon tunnel is amortised away.
+
+vs_baseline divides by the best reference 8-bit kernel (SSE/AVX2 u8)
+measured on this host with the reference's own run_benchmark
+(BASELINE_LOCAL.json; build: Release, -march=native).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+    from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+
+    code = get_code("Voyager")                     # K=7 R=1/2
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+
+    B, T = 1024, 2048
+    total_bits = T - (code.K - 1)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    ends = jnp.zeros(B, jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+    REPS = 10 if on_tpu else 1
+
+    @jax.jit
+    def pipeline(m, s):
+        def body(i, carry):
+            m, sink = carry
+            m, packed, acc = acs_pallas.acs_pallas(spec, m, s,
+                                                   interpret=not on_tpu)
+            bits = chainback_pallas.chainback_pallas(
+                spec, packed, ends, total_bits, interpret=not on_tpu)
+            return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
+        return jax.lax.fori_loop(0, REPS, body, (m, jnp.zeros((), jnp.int32)))
+
+    out = pipeline(m0, syms)
+    jax.block_until_ready(out)
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = pipeline(m0, syms)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (n * REPS)
+
+    symbols_per_s = B * T * code.R / dt
+
+    # Best reference 8-bit update rate measured on this host.
+    baseline = None
+    try:
+        with open("BASELINE_LOCAL.json") as f:
+            recs = json.load(f)["records"]
+        cands = [r["update_symbols_per_s"] for r in recs
+                 if r["name"] == "Voyager" and r["decode_type"] == "SOFT8"
+                 and r["simd_type"] in ("SIMD_SSE", "SIMD_AVX")]
+        baseline = max(cands) if cands else None
+    except (OSError, KeyError, ValueError):
+        pass
+
+    print(json.dumps({
+        "metric": "decoded symbols/s/chip (K=7 R=1/2 soft-8bit, ACS+chainback)",
+        "value": round(symbols_per_s),
+        "unit": "symbols/s",
+        "vs_baseline": round(symbols_per_s / baseline, 3) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

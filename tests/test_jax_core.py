@@ -40,20 +40,20 @@ def test_acs_matches_oracle(code_idx, decode_type):
     m0 = jax_core.initial_metrics(spec, B)
     metrics, packed, acc = jax_core.acs_scan(
         spec, m0, syms.reshape(B, T, code.R))
-    metrics = np.asarray(metrics)
-    packed = np.asarray(packed)
+    metrics = np.asarray(metrics)       # (S, B)
+    packed = np.asarray(packed)         # (T, W, B)
     acc = np.asarray(acc)
 
     for b in range(B):
         em, ed, ea = ref.acs_run(code, config, syms[b])
-        np.testing.assert_array_equal(metrics[b], em, err_msg=f"frame {b}")
+        np.testing.assert_array_equal(metrics[:, b], em, err_msg=f"frame {b}")
         assert acc[b] == ea
         # unpack packed decisions and compare
         got = np.zeros((T, spec.S), np.uint8)
         for w in range(spec.W):
             width = min(32, spec.S)
             for i in range(width):
-                got[:, w * 32 + i] = (packed[:, b, w] >> i) & 1
+                got[:, w * 32 + i] = (packed[:, w, b] >> i) & 1
         np.testing.assert_array_equal(got, ed, err_msg=f"frame {b}")
 
 

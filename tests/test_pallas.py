@@ -1,0 +1,71 @@
+"""Pallas kernels vs the XLA scan path (interpret mode on CPU).
+
+This is the qemu-equivalent leg of the test matrix (SURVEY.md section 4):
+the same kernels that run compiled on TPU run interpreted here, checked
+bit-for-bit against the XLA path (itself checked against the NumPy oracle
+in test_jax_core.py).  Sizes are kept tiny - interpret mode is slow.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import COMMON_CODES, DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+from viterbidecodercpp_tpu.ops import numpy_ref as ref
+
+
+def make_symbols(code, config, nbytes, batch, noise, seed=0):
+    rng = np.random.RandomState(seed)
+    data = rng.randint(0, 256, (batch, nbytes), dtype=np.uint8)
+    syms = np.stack([
+        ref.encode_bytes(code, d, config.soft_decision_high,
+                         config.soft_decision_low) for d in data
+    ]).astype(np.int64)
+    if noise:
+        syms = np.clip(syms + rng.randint(-noise, noise + 1, syms.shape),
+                       config.soft_decision_low, config.soft_decision_high)
+    T = syms.shape[1] // code.R
+    return data, jnp.asarray(syms.reshape(batch, T, code.R))
+
+
+@pytest.mark.parametrize("name,dt", [
+    ("Basic K=3 R=1/2", DecodeType.SOFT16),
+    ("Voyager", DecodeType.SOFT8),
+    ("DAB Radio", DecodeType.HARD8),
+])
+def test_acs_pallas_matches_xla(name, dt):
+    code = get_code(name)
+    config = get_decode_config(dt, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=4, batch=2, noise=1)
+    m0 = jax_core.initial_metrics(spec, 2)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+def test_chainback_pallas_matches_xla():
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=4, batch=2, noise=10)
+    m0 = jax_core.initial_metrics(spec, 2)
+    _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+    total_bits = 4 * 8
+    ends = jnp.zeros(2, jnp.int32)
+    e = jax_core.chainback_scan(spec, packed, ends, total_bits)
+    p = chainback_pallas.chainback_pallas(spec, packed, ends, total_bits,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    np.testing.assert_array_equal(
+        np.packbits(np.asarray(p), axis=-1), data)
+
+
+def test_k15_falls_back_to_xla():
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert not acs_pallas._supports(spec)

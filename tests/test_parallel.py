@@ -1,0 +1,73 @@
+"""Mesh-parallel decode tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import jax_core, numpy_ref as ref
+from viterbidecodercpp_tpu.parallel import block_sp, frame_dp
+from viterbidecodercpp_tpu.parallel.mesh import make_mesh
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+@needs_mesh
+def test_frame_dp_exact_and_psum():
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    mesh = make_mesh((8,), ("data",))
+    rng = np.random.RandomState(0)
+    B, nbytes = 16, 8
+    data = rng.randint(0, 256, (B, nbytes), dtype=np.uint8)
+    syms = np.stack([ref.encode_bytes(code, d, 127, -127) for d in data])
+    T = syms.shape[1] // code.R
+    total_bits = nbytes * 8
+    ref_bits = np.unpackbits(data, axis=1, bitorder="big")
+    bits, errs = frame_dp.decode_dp(
+        spec, mesh, jnp.asarray(syms.reshape(B, T, code.R)), total_bits,
+        reference_bits=jnp.asarray(ref_bits))
+    assert int(errs) == 0
+    np.testing.assert_array_equal(np.asarray(bits), ref_bits)
+
+
+@needs_mesh
+def test_block_sp_matches_sequential_with_noise():
+    # Noisy stream: time-sharded decode must agree with the sequential
+    # decode everywhere (overlap large enough for convergence).
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    ntime = 4
+    mesh = make_mesh((ntime,), ("time",))
+    rng = np.random.RandomState(3)
+    nbytes = 64
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = ref.encode_bytes(code, data, 127, -127).astype(np.int64)
+    syms = np.clip(syms + rng.randint(-40, 41, syms.shape), -127, 127)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = syms.reshape(T, code.R)
+
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=96, total_rows=T)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    expect_bits, _, _ = ref.viterbi_decode(code, config,
+                                           syms, total_bits)
+    np.testing.assert_array_equal(got, expect_bits)
+    np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)
+
+
+@needs_mesh
+def test_dryrun_entrypoints():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(8)

@@ -1,0 +1,126 @@
+"""Ablation harness for the Pallas ACS kernel (perf experiments only).
+
+Each variant strips one piece of the per-step work to find what dominates.
+Results are wrong for most variants - this measures cost, not correctness.
+"""
+import time
+import numpy as np, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from viterbidecodercpp_tpu import get_code, get_decode_config, DecodeType
+from viterbidecodercpp_tpu.ops import jax_core
+
+code = get_code("Voyager")
+config = get_decode_config(DecodeType.SOFT8, code.R)
+spec = jax_core.make_static_spec(code, config)
+H, S, W, R = spec.H, spec.S, spec.W, spec.R
+cap = spec.metric_max
+
+B, T = 1024, 2048
+TB = 256
+CHUNK = 8
+
+rng = np.random.RandomState(0)
+sym_np = rng.randint(-3, 4, (T * R, B)).astype(np.int32)
+bt_np = np.asarray(spec.bt, dtype=np.int32).reshape(R * H, 1)
+m0_np = np.zeros((S, B), np.int32)
+
+
+def build(variant):
+    def kernel(bt_ref, init_ref, sym_ref, metrics_ref, packed_ref, acc_ref):
+        block = pl.program_id(0)
+        bt_rows = [bt_ref[i * H:(i + 1) * H, :] for i in range(R)]
+
+        @pl.when(block == 0)
+        def _init():
+            metrics_ref[:] = init_ref[:]
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def chunk_body(c, _):
+            sym_off = pl.multiple_of(c * (CHUNK * R), CHUNK * R)
+            syms = sym_ref[pl.ds(sym_off, CHUNK * R), :]
+            packed_rows = []
+            for t in range(CHUNK):
+                metrics = metrics_ref[:]
+                rows = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
+                bm = jnp.abs(bt_rows[0] - rows[0])
+                for i in range(1, R):
+                    bm = bm + jnp.abs(bt_rows[i] - rows[i])
+                ibm = spec.max_error - bm
+                lo, hi = metrics[0:H, :], metrics[H:S, :]
+                e00 = jnp.minimum(lo + bm, cap)
+                e10 = jnp.minimum(hi + ibm, cap)
+                e01 = jnp.minimum(lo + ibm, cap)
+                e11 = jnp.minimum(hi + bm, cap)
+                dec0 = (e10 <= e00).astype(jnp.int32)
+                dec1 = (e11 <= e01).astype(jnp.int32)
+                new_even = jnp.where(dec0 == 1, e10, e00)
+                new_odd = jnp.where(dec1 == 1, e11, e01)
+                if variant == "no_interleave":
+                    nm = jnp.concatenate([new_even, new_odd], axis=0)
+                else:
+                    nm = jnp.stack([new_even, new_odd], axis=1).reshape(S, -1)
+                if variant == "no_renorm":
+                    sub = jnp.zeros((1, nm.shape[1]), jnp.int32)
+                else:
+                    gate = nm[0:1, :] >= spec.renorm_threshold
+                    mins = jnp.min(nm, axis=0, keepdims=True)
+                    sub = jnp.where(gate, mins, 0)
+                metrics_ref[:] = nm - sub
+                acc_ref[:] = acc_ref[:] + sub
+                if variant == "no_pack":
+                    packed_rows.append(dec0[0:W, :])
+                else:
+                    g0 = dec0.reshape(W, 16, -1)
+                    g1 = dec1.reshape(W, 16, -1)
+                    even = (1 << (2 * jnp.arange(16, dtype=jnp.int32)))[None, :, None]
+                    odd = even << 1
+                    packed_rows.append((g0 * even + g1 * odd).sum(axis=1))
+            pack_off = pl.multiple_of(c * (CHUNK * W), CHUNK * W)
+            packed_ref[pl.ds(pack_off, CHUNK * W), :] = jnp.concatenate(packed_rows, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, TB // CHUNK, chunk_body, 0)
+
+    return kernel
+
+
+def run(variant):
+    kernel = build(variant)
+    out_shapes = (
+        jax.ShapeDtypeStruct((S, B), jnp.int32),
+        jax.ShapeDtypeStruct((T * W, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    )
+    grid_spec = pl.GridSpec(
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((R * H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB * R, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB * W, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    f = jax.jit(lambda bt, m, s: pl.pallas_call(
+        kernel, out_shape=out_shapes, grid_spec=grid_spec)(bt, m, s))
+    bt, m, s = jnp.asarray(bt_np), jnp.asarray(m0_np), jnp.asarray(sym_np)
+    out = f(bt, m, s); jax.block_until_ready(out)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(bt, m, s)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{variant:16s}: {dt*1e3:8.2f} ms  {B*T*R/dt/1e9:7.3f} Gsym/s")
+
+
+if __name__ == "__main__":
+    import sys
+    variants = sys.argv[1:] or ["full", "no_interleave", "no_renorm", "no_pack"]
+    for v in variants:
+        run(v)

@@ -42,14 +42,14 @@ class DecoderState:
     history, the renorm-error accumulator and the write cursor.
     """
 
-    metrics: jnp.ndarray        # (B, S) int32
-    decisions: jnp.ndarray      # (T_cap, B, W) int32 packed decision rows
+    metrics: jnp.ndarray        # (S, B) int32 - state-major (TPU layout)
+    decisions: jnp.ndarray      # (T_cap, W, B) int32 packed decision rows
     accumulated_error: jnp.ndarray  # (B,) int32 renormalisation total
     bit_cursor: jnp.ndarray     # () int32 - next decision row to write
 
     @property
     def batch(self) -> int:
-        return self.metrics.shape[0]
+        return self.metrics.shape[1]
 
 
 class ViterbiDecoder:
@@ -106,7 +106,7 @@ class ViterbiDecoder:
         spec = self.spec
         return DecoderState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
-            decisions=jnp.zeros((self.decision_rows, batch, spec.W), jnp.int32),
+            decisions=jnp.zeros((self.decision_rows, spec.W, batch), jnp.int32),
             accumulated_error=jnp.zeros(batch, jnp.int32),
             bit_cursor=jnp.zeros((), jnp.int32),
         )
@@ -150,7 +150,7 @@ class ViterbiDecoder:
     def get_error(self, state: DecoderState, end_state: int = 0) -> jnp.ndarray:
         """(B,) normalised path metric at ``end_state``
         (viterbi_decoder_core.h:195-199)."""
-        return state.metrics[:, end_state]
+        return state.metrics[end_state, :]
 
     def chainback(self, state: DecoderState, total_bits: int,
                   end_state: int = 0) -> jnp.ndarray:
@@ -160,6 +160,10 @@ class ViterbiDecoder:
             raise ValueError("total_bits exceeds traceback_length")
         B = state.batch
         ends = jnp.full((B,), end_state, jnp.int32)
+        if self.backend == "pallas":
+            from .ops import chainback_pallas
+            return chainback_pallas.chainback_pallas(
+                self.spec, state.decisions, ends, total_bits)
         return jax_core.chainback_scan(self.spec, state.decisions, ends,
                                        total_bits)
 

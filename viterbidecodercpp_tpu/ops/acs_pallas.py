@@ -1,0 +1,240 @@
+"""Pallas TPU kernel for the Viterbi add-compare-select recursion.
+
+This replaces the reference's entire SIMD intrinsics layer (C9-C15,
+x86/viterbi_decoder_{sse,avx}_u{8,16}.h, arm/viterbi_decoder_neon_u{8,16}.h)
+with a single kernel parameterised by the static spec - the TPU analogue
+of "one template, many instantiations".
+
+Layout (TPU-first):
+  * States live on the *sublane* axis, frames on the *lane* axis: all
+    working tensors are (states, B) with B a multiple of 128.  The
+    reference keeps one frame's 2^(K-1) states in SIMD lanes; on TPU the
+    VPU is 8x128 and the winning move is the transpose - every lane is an
+    independent frame, so the butterfly reshuffle is a sublane-local
+    operation and the ACS arithmetic is dense over all 128+ lanes.
+  * The butterfly interleave new[2h], new[2h+1] <- (even, odd) is an
+    (H, 2, B) -> (S, B) reshape on the sublane axis - the Mosaic analogue
+    of _mm_unpacklo/hi_epi16 (x86/viterbi_decoder_sse_u16.h:119-131).
+  * Decision bits pack 32 states/lane into int32 words via a
+    shift-weighted sublane reduction (TPU has no movemask;
+    SURVEY.md section 7).
+  * The time loop runs *inside* the kernel: the grid walks blocks of
+    TIME_BLOCK trellis steps, symbols stream in and packed decisions
+    stream out through pipelined block DMA, while the metric vector stays
+    resident in VMEM across the whole call (constant-index output block).
+
+Semantics are bit-identical to ops/numpy_ref.acs_run (saturating or
+wrapping mode), including the state-0-gated renormalisation
+(viterbi_decoder_scalar.h:48).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import jax_core
+from .jax_core import StaticSpec
+
+__all__ = ["acs_pallas", "LANE_BATCH", "DEFAULT_TIME_BLOCK"]
+
+LANE_BATCH = 128          # frames per lane group
+DEFAULT_TIME_BLOCK = 128  # trellis steps per grid step
+
+# Above this state count the (S, B) working set stops fitting comfortably
+# in VMEM with B = 128 lanes; fall back to the XLA scan (K = 15 Cassini).
+MAX_PALLAS_STATES = 4096
+
+
+def _supports(spec: StaticSpec) -> bool:
+    return spec.S <= MAX_PALLAS_STATES
+
+
+_pack_words = jax_core.pack_decisions
+
+
+# Trellis steps per aligned DMA chunk: chosen so chunk offsets in the
+# symbol (CHUNK*R rows) and decision (CHUNK*W rows) buffers are provable
+# multiples of the 8-sublane tile - Mosaic rejects unaligned dynamic
+# sublane loads/stores.
+CHUNK = 8
+
+
+def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int):
+    H, S, W, R = spec.H, spec.S, spec.W, spec.R
+    cap = spec.metric_max
+    saturating = spec.saturating
+
+    def one_step(metrics, sym_rows):
+        """(metrics (S,B), R static symbol rows) -> (new (S,B), dec0, dec1)."""
+        bm = jnp.abs(_bt_rows[0] - sym_rows[0])
+        for i in range(1, R):
+            bm = bm + jnp.abs(_bt_rows[i] - sym_rows[i])
+        ibm = spec.max_error - bm
+        lo = metrics[0:H, :]
+        hi = metrics[H:S, :]
+        e00 = lo + bm
+        e10 = hi + ibm
+        e01 = lo + ibm
+        e11 = hi + bm
+        if saturating:
+            e00 = jnp.minimum(e00, cap)
+            e10 = jnp.minimum(e10, cap)
+            e01 = jnp.minimum(e01, cap)
+            e11 = jnp.minimum(e11, cap)
+            dec0 = (e10 <= e00).astype(jnp.int32)
+            dec1 = (e11 <= e01).astype(jnp.int32)
+        else:
+            e00 = jnp.bitwise_and(e00, cap)
+            e10 = jnp.bitwise_and(e10, cap)
+            e01 = jnp.bitwise_and(e01, cap)
+            e11 = jnp.bitwise_and(e11, cap)
+            dec0 = (e00 > e10).astype(jnp.int32)
+            dec1 = (e01 > e11).astype(jnp.int32)
+        new_even = jnp.where(dec0 == 1, e10, e00)
+        new_odd = jnp.where(dec1 == 1, e11, e01)
+        # Sublane interleave: (H, 2, B) -> (S, B) - the Mosaic analogue of
+        # _mm_unpacklo/hi (x86/viterbi_decoder_sse_u16.h:119-131).
+        new_metrics = jnp.stack([new_even, new_odd], axis=1).reshape(S, -1)
+        return new_metrics, dec0, dec1
+
+    _bt_rows = [None] * R  # bound inside kernel (needs the ref)
+
+    def kernel(bt_ref, init_ref, sym_ref, metrics_ref, packed_ref, acc_ref):
+        block = pl.program_id(0)
+        for i in range(R):
+            _bt_rows[i] = bt_ref[i * H:(i + 1) * H, :]
+
+        @pl.when(block == 0)
+        def _init():
+            metrics_ref[:] = init_ref[:]
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        num_chunks = time_block // CHUNK
+
+        def chunk_body(c, _):
+            sym_off = pl.multiple_of(c * (CHUNK * R), CHUNK * R)
+            syms = sym_ref[pl.ds(sym_off, CHUNK * R), :]     # (CHUNK*R, B)
+            gbase = block * time_block + c * CHUNK
+            packed_rows = []
+            for t in range(CHUNK):
+                gstep = gbase + t
+                live = gstep < total_steps
+                metrics = metrics_ref[:]
+                rows = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
+                new_metrics, dec0, dec1 = one_step(metrics, rows)
+                # Renormalise, gated on the state-0 metric
+                # (viterbi_decoder_scalar.h:48).
+                gate = jnp.logical_and(
+                    new_metrics[0:1, :] >= spec.renorm_threshold, live)
+                mins = jnp.min(new_metrics, axis=0, keepdims=True)
+                sub = jnp.where(gate, mins, 0)
+                metrics_ref[:] = jnp.where(live, new_metrics - sub, metrics)
+                acc_ref[:] = acc_ref[:] + sub
+                packed_rows.append(_pack_words(spec, dec0, dec1))
+            pack_off = pl.multiple_of(c * (CHUNK * W), CHUNK * W)
+            packed_ref[pl.ds(pack_off, CHUNK * W), :] = jnp.concatenate(
+                packed_rows, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
+                       symbols: jnp.ndarray, time_block: int,
+                       total_steps: int, interpret: bool
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Padded-layout kernel launch.
+
+    metrics: (S, B) int32; symbols: (T_pad * R, B) int32 with
+    T_pad % time_block == 0.  Returns (metrics (S, B),
+    packed (T_pad * W, B), acc (1, B)).
+    """
+    S, W, R, H = spec.S, spec.W, spec.R, spec.H
+    TR, B = symbols.shape
+    T_pad = TR // R
+    num_blocks = T_pad // time_block
+    bt = np.asarray(spec.bt, dtype=np.int32).reshape(R * H, 1)
+
+    kernel = _make_kernel(spec, time_block, total_steps)
+    out_shapes = (
+        jax.ShapeDtypeStruct((S, B), jnp.int32),
+        jax.ShapeDtypeStruct((T_pad * W, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    )
+    grid_spec = pl.GridSpec(
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((R * H, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block * R, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block * W, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    flops_per_step = B * (H * (3 * R + 14) + 2 * S)
+    cost = pl.CostEstimate(
+        flops=T_pad * flops_per_step,
+        bytes_accessed=symbols.size * 4 + T_pad * W * B * 4,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(bt), metrics, symbols)
+
+
+def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
+               *, time_block: int = DEFAULT_TIME_BLOCK,
+               interpret: bool = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
+
+    metrics (S, B) int32, symbols (B, T, R) int32 ->
+    (metrics (S, B), packed (T, W, B) int32, acc (B,) int32).
+
+    Pads the batch to a multiple of 128 lanes and the time axis to a
+    multiple of ``time_block``, launches the fused kernel, and slices the
+    padding back off.  Falls back to the XLA scan for state counts too
+    large for a lane-resident metric vector (K = 15).
+    """
+    if not _supports(spec):
+        return jax_core.acs_scan(spec, metrics, symbols)
+    if interpret is None:
+        # Interpreter mode is the qemu-equivalent for running the Pallas
+        # matrix on hosts without a TPU (SURVEY.md section 4).
+        interpret = jax.default_backend() != "tpu"
+    B, T, R = symbols.shape
+    assert R == spec.R
+    time_block = min(time_block, max(CHUNK, T))
+    time_block = -(-time_block // CHUNK) * CHUNK
+    B_pad = -(-B // LANE_BATCH) * LANE_BATCH
+    T_pad = -(-T // time_block) * time_block
+
+    sym = jnp.transpose(symbols.astype(jnp.int32), (1, 2, 0)).reshape(T * R, B)
+    sym = jnp.pad(sym, ((0, (T_pad - T) * R), (0, B_pad - B)))
+    m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
+
+    m_out, packed, acc = _acs_pallas_padded(spec, m, sym, time_block,
+                                            T, bool(interpret))
+
+    packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
+    return m_out[:, :B], packed, acc[0, :B]

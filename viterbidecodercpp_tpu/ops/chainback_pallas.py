@@ -1,0 +1,151 @@
+"""Pallas TPU kernel for batched traceback (chainback).
+
+Replaces ``ViterbiDecoder_Core::chainback`` (viterbi_decoder_core.h:214-236)
+pointer-chasing with a lane-parallel walk: every lane is an independent
+frame; at each trellis row the per-frame decision bit is selected from the
+packed words without a gather (masked sum over the W words - W is 2 for
+K=7), and the state recurrence ``s <- (s >> 1) | (d << (K-2))`` runs on a
+(1, B) vector.
+
+The time axis is walked newest -> oldest by running the grid over row
+blocks with a *reversed* index map; the walking state lives in VMEM
+scratch, which persists across grid steps.  Within a block, rows are
+processed in aligned CHUNK-row slabs (Mosaic requires dynamic sublane
+offsets to be provable multiples of the 8-row tile) and the decoded bits
+are stored as aligned (CHUNK, B) int32 slabs.
+
+The kernel emits one bit per trellis row; row t is data bit t - (K-1)
+(viterbi_decoder_core.h:223-235), so the wrapper slices out the data-bit
+range - the same launch serves any (total_bits, end_state) readout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .jax_core import StaticSpec
+
+__all__ = ["chainback_pallas"]
+
+CHUNK = 8          # rows per aligned load/store group
+TIME_BLOCK = 256   # rows per grid step
+
+
+def _select_word(words, widx, W):
+    """Per-lane select of word ``widx`` from (W, B) rows, no gather."""
+    if W == 1:
+        return words[0:1, :]
+    out = jnp.where(widx == 0, words[0:1, :], 0)
+    for w in range(1, W):
+        out = out | jnp.where(widx == w, words[w:w + 1, :], 0)
+    return out
+
+
+def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int):
+    W = spec.W
+    Kb = spec.K - 1
+
+    def kernel(packed_ref, end_ref, bits_ref, state_scr):
+        block = pl.program_id(0)
+
+        @pl.when(block == 0)
+        def _init():
+            state_scr[:] = end_ref[:]
+
+        row_base = (num_blocks - 1 - block) * TIME_BLOCK
+
+        def group_body(g, _):
+            # Groups walk top-down within the block.
+            goff = (TIME_BLOCK // CHUNK - 1) - g
+            load_off = pl.multiple_of(goff * (CHUNK * W), CHUNK * W)
+            slab = packed_ref[pl.ds(load_off, CHUNK * W), :]
+            state = state_scr[:]
+            out_rows = [None] * CHUNK
+            for i in range(CHUNK):
+                t_local = CHUNK - 1 - i
+                t = row_base + goff * CHUNK + t_local
+                live = t < total_rows
+                rows = slab[t_local * W:(t_local + 1) * W, :]
+                widx = state >> 5
+                sel = _select_word(rows, widx, W)
+                d = (sel >> (state & 31)) & 1
+                new_state = (state >> 1) | (d << (Kb - 1))
+                state = jnp.where(live, new_state, state)
+                out_rows[t_local] = d
+            state_scr[:] = state
+            store_off = pl.multiple_of(goff * CHUNK, CHUNK)
+            bits_ref[pl.ds(store_off, CHUNK), :] = jnp.concatenate(
+                out_rows, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, TIME_BLOCK // CHUNK, group_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
+                      end_state: jnp.ndarray, total_rows: int,
+                      interpret: bool) -> jnp.ndarray:
+    """packed: (T_pad * W, B) int32 with T_pad % TIME_BLOCK == 0;
+    end_state: (1, B). Returns (T_pad, B) int32 decision-path bits."""
+    W = spec.W
+    TW, B = packed.shape
+    T_pad = TW // W
+    num_blocks = T_pad // TIME_BLOCK
+
+    kernel = _make_kernel(spec, total_rows, num_blocks)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (TIME_BLOCK * W, B),
+                lambda i: (num_blocks - 1 - i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIME_BLOCK, B),
+            lambda i: (num_blocks - 1 - i, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+        interpret=interpret,
+    )(packed, end_state)
+
+
+def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
+                     end_state: jnp.ndarray, total_bits: int,
+                     *, interpret: bool = None) -> jnp.ndarray:
+    """Drop-in replacement for :func:`jax_core.chainback_scan`.
+
+    packed: (T, W, B) int32 decision rows with T >= total_bits + K - 1;
+    end_state: (B,) int32.  Returns (B, total_bits) uint8 data bits.
+    """
+    T, W, B = packed.shape
+    assert W == spec.W
+    Kb = spec.K - 1
+    rows_needed = total_bits + Kb
+    if T < rows_needed:
+        raise ValueError("decision history shorter than total_bits + K - 1")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B_pad = -(-B // 128) * 128
+    T_pad = -(-rows_needed // TIME_BLOCK) * TIME_BLOCK
+    p = packed[:rows_needed].astype(jnp.int32)
+    p = jnp.pad(p, ((0, T_pad - rows_needed), (0, 0), (0, B_pad - B)))
+    p = p.reshape(T_pad * W, B_pad)
+    ends = jnp.pad(end_state.astype(jnp.int32)[None, :],
+                   ((0, 0), (0, B_pad - B)))
+
+    bits = _chainback_padded(spec, p, ends, rows_needed, bool(interpret))
+    out = jnp.swapaxes(bits[Kb:rows_needed, :B], 0, 1)
+    return out.astype(jnp.uint8)

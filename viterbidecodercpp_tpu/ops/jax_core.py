@@ -93,25 +93,31 @@ def make_static_spec(code: CodeSpec, config: DecoderConfig) -> StaticSpec:
 
 def initial_metrics(spec: StaticSpec, batch: int,
                     starting_state: int = 0) -> jnp.ndarray:
-    """(B, S) int32 metric seed - reset() semantics
-    (viterbi_decoder_core.h:202-211)."""
-    m = jnp.full((batch, spec.S), spec.init_other, dtype=jnp.int32)
-    return m.at[:, starting_state & (spec.S - 1)].set(spec.init_start)
+    """(S, B) int32 metric seed - reset() semantics
+    (viterbi_decoder_core.h:202-211).
+
+    Layout note: metrics are *state-major* (states on the TPU sublane
+    axis, frames on lanes) throughout the framework; transposing at API
+    boundaries measurably dominates the kernels themselves.
+    """
+    m = jnp.full((spec.S, batch), spec.init_other, dtype=jnp.int32)
+    return m.at[starting_state & (spec.S - 1), :].set(spec.init_start)
 
 
 def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
-                    sym: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One trellis step over a batch.
+                    sym: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """One trellis step over a batch, state-major.
 
-    ``metrics``: (B, S) int32; ``sym``: (B, R) int32 soft symbols.
-    Returns (new_metrics (B, S), decisions (B, S) int32 in {0, 1}).
+    ``metrics``: (S, B) int32; ``sym``: (R, B) int32 soft symbols.
+    Returns (new_metrics (S, B), dec0 (H, B), dec1 (H, B)).
     """
     bt = jnp.asarray(np.asarray(spec.bt, dtype=np.int32))   # (R, H)
-    # Branch metric per half-state: sum_i |bt[i, h] - sym[b, i]|  -> (B, H)
-    bm = jnp.abs(bt[None, :, :] - sym[:, :, None]).sum(axis=1)
+    # Branch metric per half-state: sum_i |bt[i, h] - sym[i, b]| -> (H, B)
+    bm = jnp.abs(bt[:, :, None] - sym[:, None, :]).sum(axis=0)
     ibm = spec.max_error - bm
-    lo = metrics[:, : spec.H]
-    hi = metrics[:, spec.H:]
+    lo = metrics[: spec.H]
+    hi = metrics[spec.H:]
     e00 = lo + bm
     e10 = hi + ibm
     e01 = lo + ibm
@@ -134,84 +140,99 @@ def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
         dec1 = (e01 > e11).astype(jnp.int32)
     new_even = jnp.where(dec0 == 1, e10, e00)
     new_odd = jnp.where(dec1 == 1, e11, e01)
-    new_metrics = jnp.stack([new_even, new_odd], axis=-1).reshape(-1, spec.S)
-    decisions = jnp.stack([dec0, dec1], axis=-1).reshape(-1, spec.S)
-    return new_metrics, decisions
+    new_metrics = jnp.stack([new_even, new_odd], axis=1).reshape(
+        spec.S, -1)
+    return new_metrics, dec0, dec1
 
 
 def _renormalise(spec: StaticSpec, metrics: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame renorm, gated on the state-0 metric
-    (viterbi_decoder_scalar.h:48, renormalise 139-153)."""
-    gate = metrics[:, 0] >= spec.renorm_threshold        # (B,)
-    mins = metrics.min(axis=1)                            # (B,)
+    (viterbi_decoder_scalar.h:48, renormalise 139-153).
+
+    metrics: (S, B); returns (renormalised metrics, subtracted (B,))."""
+    gate = metrics[0, :] >= spec.renorm_threshold        # (B,)
+    mins = metrics.min(axis=0)                            # (B,)
     sub = jnp.where(gate, mins, 0)
-    return metrics - sub[:, None], sub
+    return metrics - sub[None, :], sub
 
 
-def pack_decisions(spec: StaticSpec, decisions: jnp.ndarray) -> jnp.ndarray:
-    """Pack (…, S) {0,1} decisions into (…, W) int32 words, 32 states per
-    word, state ``s`` at bit ``s % 32`` of word ``s // 32`` - the layout of
-    ``ViterbiDecisionBits`` (viterbi_decoder_core.h:49-83) with a fixed
-    32-bit block size."""
-    if spec.S < DECISION_WORD_BITS:
-        shifts = jnp.arange(spec.S, dtype=jnp.int32)
-        return (decisions << shifts).sum(axis=-1, dtype=jnp.int32)[..., None]
-    shape = decisions.shape[:-1] + (spec.W, DECISION_WORD_BITS)
-    d = decisions.reshape(shape)
-    shifts = jnp.arange(DECISION_WORD_BITS, dtype=jnp.int32)
-    return (d << shifts).sum(axis=-1, dtype=jnp.int32)
+def pack_decisions(spec: StaticSpec, dec0: jnp.ndarray,
+                   dec1: jnp.ndarray) -> jnp.ndarray:
+    """Pack butterfly decisions (H, B) x2 into (W, B) int32 words.
+
+    State 2h carries dec0[h] at bit (2h % 32); state 2h+1 carries dec1[h]
+    at bit (2h+1 % 32) - the ``ViterbiDecisionBits`` layout
+    (viterbi_decoder_core.h:49-83) with a fixed 32-bit block size, built
+    without materialising the interleaved (S, B) bit tensor.
+    """
+    H, W = spec.H, spec.W
+    if H >= 16:
+        g0 = dec0.reshape(W, 16, -1)
+        g1 = dec1.reshape(W, 16, -1)
+        even = (1 << (2 * jnp.arange(16, dtype=jnp.int32)))[None, :, None]
+        odd = even << 1
+        return (g0 * even + g1 * odd).sum(axis=1)
+    # broadcasted_iota: TPU kernels reject 1-D iota (pallas_guide "Common
+    # Pitfalls" 4), and this helper is shared with the Pallas kernel.
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) * 2
+    word = (dec0 * (1 << shifts) + dec1 * (1 << (shifts + 1))).sum(
+        axis=0, keepdims=True)
+    return word
 
 
 def _unpack_bit(spec: StaticSpec, words: jnp.ndarray,
                 state: jnp.ndarray) -> jnp.ndarray:
-    """Read the decision bit for ``state`` (B,) from packed words (B, W)."""
+    """Read the decision bit for ``state`` (B,) from packed words (W, B)."""
     if spec.W == 1:
-        word = words[:, 0]
+        word = words[0]
     else:
         # Select word s >> 5 per frame without gather: small masked sum.
         widx = state >> 5
-        sel = (jnp.arange(spec.W, dtype=jnp.int32)[None, :] == widx[:, None])
-        word = jnp.sum(jnp.where(sel, words, 0), axis=1)
+        sel = (jnp.arange(spec.W, dtype=jnp.int32)[:, None] == widx[None, :])
+        word = jnp.sum(jnp.where(sel, words, 0), axis=0)
     return (word >> (state & (DECISION_WORD_BITS - 1))) & 1
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def acs_scan(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run T trellis steps over a batch of frames.
+    """Run T trellis steps over a batch of frames (XLA scan path).
 
     Args:
-      metrics: (B, S) int32 carry from ``initial_metrics`` or a previous
+      metrics: (S, B) int32 carry from ``initial_metrics`` or a previous
         call (the update API is incremental, like the reference's -
         SURVEY.md section 5 "checkpoint/resume").
-      symbols: (B, T, R) int32 soft symbols.
+      symbols: (B, T, R) int32 soft symbols (frame-major, user layout).
 
     Returns:
-      (metrics (B, S), packed decisions (T, B, W) int32,
+      (metrics (S, B), packed decisions (T, W, B) int32,
        accumulated renorm error (B,) int32).
     """
     B = symbols.shape[0]
-    sym_t = jnp.swapaxes(symbols, 0, 1).astype(jnp.int32)   # (T, B, R)
+    sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)  # (T, R, B)
 
     def step(carry, sym):
         m, acc = carry
-        m, dec = _butterfly_step(spec, m, sym)
+        m, dec0, dec1 = _butterfly_step(spec, m, sym)
         m, sub = _renormalise(spec, m)
-        return (m, acc + sub), pack_decisions(spec, dec)
+        return (m, acc + sub), pack_decisions(spec, dec0, dec1)
 
+    # acc derives from metrics (not a fresh constant) so it inherits the
+    # same varying-axis type under shard_map (JAX vma tracking).
+    acc0 = metrics[0, :].astype(jnp.int32) * 0
     (metrics, acc), packed = jax.lax.scan(
-        step, (metrics.astype(jnp.int32), jnp.zeros(B, jnp.int32)), sym_t)
+        step, (metrics.astype(jnp.int32), acc0), sym_t)
     return metrics, packed, acc
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def chainback_scan(spec: StaticSpec, packed: jnp.ndarray,
                    end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
-    """Batched traceback over packed decisions.
+    """Batched traceback over packed decisions (XLA scan path).
 
     Args:
-      packed: (T, B, W) int32 decision words with T >= total_bits + K - 1;
+      packed: (T, W, B) int32 decision words with T >= total_bits + K - 1;
         rows beyond ``total_bits + K - 1`` are ignored.
       end_state: (B,) int32 states to start the walk from (0 after tail
         termination).
@@ -223,7 +244,7 @@ def chainback_scan(spec: StaticSpec, packed: jnp.ndarray,
     ``state <- (state >> 1) | (bit << (K-2))``.
     """
     Kb = spec.K - 1
-    rows = packed[Kb:Kb + total_bits]                 # (total_bits, B, W)
+    rows = packed[Kb:Kb + total_bits]                 # (total_bits, W, B)
     rows_rev = rows[::-1]
 
     def step(state, words):

@@ -1,0 +1,176 @@
+"""Time-block sequence parallelism: one long stream across a device mesh.
+
+The reference's hot loop is strictly sequential over symbols
+(viterbi_decoder_scalar.h:43-53); a frame is never split.  This module
+adds the capability the reference lacks (SURVEY.md section 5
+"long-context"): the symbol stream tiles across a 'time' mesh axis, each
+device runs ACS on its tile after a *warm-up overlap* region received
+from its left neighbour via ``lax.ppermute``, and traceback runs on each
+tile after a *warm-down overlap* of decision rows received from the right
+neighbour.  State metrics converge to the true path within ~5K trellis
+steps (the classic truncated-Viterbi property; the block-parallel GPU
+decoders in PAPERS.md use the same structure), so with ``overlap`` of a
+few hundred steps the interior decode is exact with overwhelming
+probability - and *exactly* exact on clean-enough channels.
+
+Boundary semantics:
+  * device 0 starts from the true reset metrics
+    (viterbi_decoder_core.h:202-211); other devices start every state at
+    the same constant and warm up.
+  * the last device tracebacks from ``end_state`` (0 for tail-terminated
+    streams); other devices traceback from state 0 through their
+    right-halo decision rows first, discarding the halo bits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import jax_core
+from ..ops.jax_core import StaticSpec
+from .mesh import make_mesh, pvary
+
+__all__ = ["decode_stream_sp", "dryrun"]
+
+
+def _path_bits_scan(spec: StaticSpec, rows: jnp.ndarray,
+                    start_state: jnp.ndarray,
+                    valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Walk packed decision rows (N, W, B) newest->oldest from
+    ``start_state`` (B,), returning the per-row path bits (N, B).
+
+    ``valid`` (N,) masks rows to skip (stream padding past the true end):
+    a skipped row leaves the state untouched, so the walk effectively
+    starts at the last valid row.
+    """
+    Kb = spec.K - 1
+    if valid is None:
+        valid = jnp.ones(rows.shape[0], bool)
+
+    def step(state, inp):
+        words, ok = inp
+        d = jax_core._unpack_bit(spec, words, state)
+        new_state = (state >> 1) | (d << (Kb - 1))
+        state = jnp.where(ok, new_state, state)
+        return state, d.astype(jnp.uint8)
+
+    _, bits_rev = jax.lax.scan(step, start_state.astype(jnp.int32),
+                               (rows[::-1], valid[::-1]))
+    return bits_rev[::-1]
+
+
+def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
+                     *, overlap: int, end_state: int = 0,
+                     total_rows: int = None,
+                     use_pallas: bool = False) -> jnp.ndarray:
+    """Decode one long stream with its time axis sharded over 'time'.
+
+    Args:
+      symbols: (B, T, R) int32, T divisible by the 'time' axis size
+        (pad the tail with neutral symbols; see ``total_rows``).
+      overlap: warm-up/warm-down region in trellis steps (use >= 32*(K-1);
+        the interior converges after ~5K steps).
+      end_state: trellis state after the final transition (0 when
+        tail-terminated, test_helpers.h:54-60).
+      total_rows: true number of trellis rows before padding (default T);
+        the traceback starts at the last true row.  Padding must be
+        shorter than one tile minus the overlap.
+
+    Returns per-row path bits (B, T) uint8: row t carries data bit
+    t-(K-1) (viterbi_decoder_core.h:223-235), so data bits are rows
+    [K-1, K-1+total_bits).
+    """
+    ntime = mesh.shape["time"]
+    B, T, R = symbols.shape
+    if T % ntime:
+        raise ValueError(f"T={T} not divisible by time-axis size {ntime}")
+    L = T // ntime
+    O = min(overlap, L)
+    if total_rows is None:
+        total_rows = T
+    if total_rows <= (ntime - 1) * L + O and ntime > 1:
+        raise ValueError("stream padding may not exceed one tile minus the "
+                         "overlap region")
+
+    right_perm = [(i, i + 1) for i in range(ntime - 1)]
+    left_perm = [(i + 1, i) for i in range(ntime - 1)]
+
+    def shard_fn(sym_blk):
+        # sym_blk: (B, L, R) - this device's tile.
+        idx = jax.lax.axis_index("time")
+        Bl = sym_blk.shape[0]
+
+        # --- ACS with left-halo warm-up --------------------------------
+        halo_syms = jax.lax.ppermute(sym_blk[:, L - O:, :], "time",
+                                     right_perm)          # left nbr's tail
+        ext = jnp.concatenate([halo_syms, sym_blk], axis=1)  # (B, O+L, R)
+        reset_m = jax_core.initial_metrics(spec, Bl)
+        uniform_m = jnp.full_like(reset_m, spec.init_other)
+        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), "time")
+        if use_pallas:
+            from ..ops import acs_pallas
+            _, packed_ext, _ = acs_pallas.acs_pallas(spec, m0, ext)
+        else:
+            _, packed_ext, _ = jax_core.acs_scan(spec, m0, ext)
+        packed = packed_ext[O:]                            # (L, W, B) own rows
+
+        # --- traceback with right-halo warm-down ------------------------
+        halo_dec = jax.lax.ppermute(packed[:O], "time", left_perm)
+        ext_dec = jnp.concatenate([packed, halo_dec], axis=0)  # (L+O, W, B)
+        # Interior devices: walk O halo rows from state 0 to converge.
+        # Last device: no halo (zeros arrived) - walk only own rows from
+        # end_state.
+        start_interior = pvary(jnp.zeros(Bl, jnp.int32), "time")
+        start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), "time")
+        bits_interior = _path_bits_scan(spec, ext_dec, start_interior)[:L]
+        # Last tile: mask stream-padding rows so the walk begins at the
+        # true final row with end_state.
+        grow = idx * L + jax.lax.iota(jnp.int32, L)
+        bits_last = _path_bits_scan(spec, packed, start_last,
+                                    valid=grow < total_rows)
+        bits = jnp.where(idx == ntime - 1, bits_last, bits_interior)
+        return jnp.swapaxes(bits, 0, 1)                    # (B, L)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(None, "time", None),),
+                   out_specs=P(None, "time"))
+    return jax.jit(fn)(symbols)
+
+
+def dryrun(n_devices: int) -> None:
+    """Tiny time-SP decode on an n_devices mesh; checks exact recovery of
+    a clean tail-terminated stream against the sequential decode."""
+    from ..codes import get_code
+    from ..config import DecodeType, get_decode_config
+    from ..ops import numpy_ref
+
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    mesh = make_mesh((n_devices,), ("time",))
+
+    rng = np.random.RandomState(1)
+    ntime = n_devices
+    nbytes = 16 * ntime
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = numpy_ref.encode_bytes(code, data, config.soft_decision_high,
+                                  config.soft_decision_low)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    sym_arr = np.zeros((1, pad_T, code.R), np.int32)
+    sym_arr[0, :T] = syms.reshape(T, code.R)
+
+    bits = decode_stream_sp(spec, mesh, jnp.asarray(sym_arr),
+                            overlap=64, end_state=0, total_rows=T)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    expect = numpy_ref.bytes_to_bits(data)
+    nerr = int((got != expect).sum())
+    assert nerr == 0, f"time-SP decode had {nerr} bit errors"

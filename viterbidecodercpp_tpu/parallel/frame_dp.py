@@ -1,0 +1,105 @@
+"""Frame data-parallel decoding over a device mesh.
+
+Frames are fully independent, so this is the TPU analogue of the
+reference's thread-pool task parallelism (run_benchmark.cpp:193-244): the
+batch axis is sharded across the 'data' mesh axis via shard_map, every
+device runs the identical compiled decode on its shard, and aggregate
+statistics (total bit errors for BER, accumulated renorm error) reduce
+with a psum over the mesh - collectives ride ICI, hosts only see the
+final scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..codes import CodeSpec
+from ..config import DecodeType, get_decode_config
+from ..ops import jax_core
+from .mesh import make_mesh, pvary
+
+__all__ = ["decode_dp", "dryrun"]
+
+
+def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
+              total_bits: int, *, use_pallas: bool = False,
+              reference_bits: Optional[jnp.ndarray] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode (B, T, R) symbols with B sharded over mesh axis 'data'.
+
+    Returns (bits (B, total_bits) uint8 sharded over 'data',
+    total_bit_errors () int32 - a psum over the mesh when
+    ``reference_bits`` is given, else 0).
+    """
+
+    def shard_fn(sym_blk, ref_blk):
+        Bl = sym_blk.shape[0]
+        m0 = pvary(jax_core.initial_metrics(spec, Bl), "data")
+        if use_pallas:
+            from ..ops import acs_pallas, chainback_pallas
+            m, packed, acc = acs_pallas.acs_pallas(spec, m0, sym_blk)
+            bits = chainback_pallas.chainback_pallas(
+                spec, packed, jnp.zeros(Bl, jnp.int32), total_bits)
+        else:
+            m, packed, acc = jax_core.acs_scan(spec, m0, sym_blk)
+            bits = jax_core.chainback_scan(
+                spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
+                total_bits)
+        errs = jnp.sum((bits != ref_blk).astype(jnp.int32))
+        total_errs = jax.lax.psum(errs, "data")
+        return bits, total_errs
+
+    if reference_bits is None:
+        reference_bits = jnp.zeros((symbols.shape[0], total_bits), jnp.uint8)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None)),
+        out_specs=(P("data", None), P()),
+    )
+    return jax.jit(fn)(symbols, reference_bits)
+
+
+def dryrun(n_devices: int) -> None:
+    """One full frame-DP + time-SP step on an n_devices mesh (driver hook).
+
+    Uses a 2D mesh (data x time) when n_devices is even: frames shard over
+    'data' (this module) and one long stream decodes over 'time'
+    (block_sp, with ppermute halo exchange), exercising every sharding and
+    collective the framework uses.
+    """
+    from ..codes import get_code
+    from ..ops import encoder, numpy_ref
+    from . import block_sp
+
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+
+    # --- frame-DP leg -----------------------------------------------------
+    dp = n_devices
+    mesh = make_mesh((dp,), ("data",))
+    rng = np.random.RandomState(0)
+    B, nbytes = 2 * dp, 8
+    data = rng.randint(0, 256, (B, nbytes), dtype=np.uint8)
+    syms = np.stack([
+        numpy_ref.encode_bytes(code, d, config.soft_decision_high,
+                               config.soft_decision_low) for d in data
+    ])
+    T = syms.shape[1] // code.R
+    total_bits = nbytes * 8
+    ref_bits = np.unpackbits(data, axis=1, bitorder="big")
+    bits, errs = decode_dp(spec, mesh, jnp.asarray(syms.reshape(B, T, code.R)),
+                           total_bits, reference_bits=jnp.asarray(ref_bits))
+    assert int(errs) == 0, f"frame-DP decode had {int(errs)} bit errors"
+
+    # --- time-SP leg -------------------------------------------------------
+    if n_devices >= 2:
+        block_sp.dryrun(n_devices)

@@ -1,0 +1,43 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["make_mesh", "pvary"]
+
+
+def pvary(x, axis_name):
+    """Mark a per-shard constant as varying over ``axis_name``.
+
+    Inside shard_map, values built from constants are typed as replicated;
+    feeding them into a lax.scan carry whose other inputs are
+    device-varying trips JAX's vma check.  No-op on JAX versions without
+    the distinction."""
+    f = getattr(jax.lax, "pvary", None)
+    if f is None:
+        return x
+
+    def mark(a):
+        try:
+            if axis_name in getattr(jax.typeof(a), "vma", ()):
+                return a  # already varying over this axis
+        except Exception:
+            pass
+        return f(a, axis_name)
+
+    return jax.tree_util.tree_map(mark, x)
+
+
+def make_mesh(axis_sizes: Sequence[int], axis_names: Sequence[str]) -> Mesh:
+    """Build a Mesh over the first prod(axis_sizes) devices."""
+    n = int(np.prod(axis_sizes))
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(*axis_sizes)
+    return Mesh(arr, tuple(axis_names))
