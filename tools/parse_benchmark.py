@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Summarise run_benchmark.py JSON (parity with examples/parse_benchmark.py).
+
+Prints mean +/- std update symbols/s and chainback bits/s per combination
+and the speedup of each backend vs the XLA scan baseline (the reference
+reports speedups vs its scalar kernel, parse_benchmark.py:109-141).
+Accepts this repo's run_benchmark.py output and the reference's
+run_benchmark output interchangeably (same schema).
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("file", help="benchmark JSON (or - for stdin)")
+    args = ap.parse_args()
+    f = sys.stdin if args.file == "-" else open(args.file)
+    rows = json.load(f)
+
+    stats = []
+    for r in rows:
+        upd = np.asarray(r["update_symbols_ns"], float)
+        cb = np.asarray(r["chainback_bits_ns"], float)
+        upd_rate = r["total_symbols"] / upd * 1e9
+        cb_rate = r["total_input_bits"] / cb * 1e9
+        stats.append({
+            "name": r["name"], "decode": r["decode_type"],
+            "kernel": r["simd_type"], "K": r["K"], "R": r["R"],
+            "update_mean": upd_rate.mean(), "update_std": upd_rate.std(),
+            "cb_mean": cb_rate.mean(), "cb_std": cb_rate.std(),
+        })
+
+    # baseline per (name, decode): XLA row if present, else slowest kernel
+    base = {}
+    for s in stats:
+        k = (s["name"], s["decode"])
+        if s["kernel"] in ("XLA", "SCALAR"):
+            base[k] = s["update_mean"]
+    for s in stats:
+        k = (s["name"], s["decode"])
+        base.setdefault(k, min(x["update_mean"] for x in stats
+                               if (x["name"], x["decode"]) == k))
+
+    hdr = (f"{'name':16s} {'decode':7s} {'kernel':7s} |"
+           f" {'update sym/s':>22s} | {'chainback bit/s':>22s} | speedup")
+    print(hdr)
+    print("-" * len(hdr))
+    for s in stats:
+        sp = s["update_mean"] / base[(s["name"], s["decode"])]
+        print(f"{s['name']:16s} {s['decode']:7s} {s['kernel']:7s} |"
+              f" {s['update_mean']:13.3e} ± {s['update_std']:7.1e} |"
+              f" {s['cb_mean']:13.3e} ± {s['cb_std']:7.1e} |"
+              f" {sp:6.2f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

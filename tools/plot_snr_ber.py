@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Plot BER-vs-Eb/No curves (parity with examples/plot_snr_ber.py).
+
+Reads one or more run_snr_ber JSON files (this repo's or the reference
+binary's - same schema) and renders semilog BER curves grouped by code
+name, kernel and decode type.  Falls back to an ASCII table when
+matplotlib is unavailable.
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="+", help="run_snr_ber JSON files")
+    ap.add_argument("-o", default="snr_ber.png", help="output image")
+    ap.add_argument("--name", default=None, help="filter by code name")
+    args = ap.parse_args()
+
+    curves = []
+    for path in args.files:
+        with open(path) as f:
+            for r in json.load(f):
+                if args.name and r["name"] != args.name:
+                    continue
+                label = f"{r['name']} {r['decode_type']} {r['simd_type']}"
+                curves.append((label, r["EbNo_dB"], r["ber"]))
+
+    if not curves:
+        print("no curves matched", file=sys.stderr)
+        return 1
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        for label, x, y in curves:
+            print(f"# {label}")
+            for xi, yi in zip(x, y):
+                print(f"  {xi:6.1f} dB  BER {yi:.3e}")
+        return 0
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for label, x, y in curves:
+        # drop zero-BER sentinel points from the log plot tail
+        pts = [(xi, yi) for xi, yi in zip(x, y) if yi > 0]
+        if pts:
+            ax.semilogy(*zip(*pts), marker="o", label=label)
+    ax.set_xlabel("Eb/No (dB)")
+    ax.set_ylabel("BER")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(args.o, dpi=120)
+    print(f"wrote {args.o}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+// Probe: decode symbol frames with the reference library, print bytes.
+// Usage: ref_probe <mode:soft16|soft8|hard8> <infile> <outfile>
+// infile: int16 little-endian, frames of (block_bits + K - 1) * R symbols
+// outfile: decoded bytes per frame, concatenated.
+#include <cstdio>
+#include <cstdint>
+#include <vector>
+#include <cstring>
+#include <string>
+#include "viterbi/viterbi_branch_table.h"
+#include "viterbi/viterbi_decoder_core.h"
+#include "viterbi/x86/viterbi_decoder_avx_u8.h"
+#include "viterbi/x86/viterbi_decoder_avx_u16.h"
+#include "helpers/decode_type.h"
+
+static constexpr size_t K = 7, R = 2;
+static const uint8_t G[R] = {109, 79};
+
+template <typename soft_t, typename error_t, class decoder_t>
+int run(Decoder_Config<soft_t, error_t> config, FILE* fin, FILE* fout,
+        size_t block_bits) {
+    const size_t T = block_bits + K - 1;
+    auto branch_table = ViterbiBranchTable<K, R, soft_t>(
+        G, config.soft_decision_high, config.soft_decision_low);
+    auto vitdec = ViterbiDecoder_Core<K, R, error_t, soft_t>(
+        branch_table, config.decoder_config);
+    vitdec.set_traceback_length(block_bits);
+
+    std::vector<int16_t> raw(T * R);
+    std::vector<soft_t> syms(T * R);
+    std::vector<uint8_t> out(block_bits / 8);
+    while (fread(raw.data(), sizeof(int16_t), raw.size(), fin) == raw.size()) {
+        for (size_t i = 0; i < raw.size(); i++) syms[i] = (soft_t)raw[i];
+        vitdec.reset();
+        decoder_t::template update<uint64_t>(vitdec, syms.data(), syms.size());
+        vitdec.chainback(out.data(), block_bits, 0);
+        fwrite(out.data(), 1, out.size(), fout);
+    }
+    return 0;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 5) { fprintf(stderr, "usage: %s mode in out block_bits\n", argv[0]); return 2; }
+    std::string mode = argv[1];
+    FILE* fin = fopen(argv[2], "rb");
+    FILE* fout = fopen(argv[3], "wb");
+    size_t block_bits = strtoul(argv[4], nullptr, 10);
+    if (!fin || !fout) { fprintf(stderr, "io error\n"); return 2; }
+    if (mode == "hard8") {
+        auto cfg = get_hard8_decoding_config(R);
+        return run<int8_t, uint8_t, ViterbiDecoder_AVX_u8<K, R>>(cfg, fin, fout, block_bits);
+    } else if (mode == "soft8") {
+        auto cfg = get_soft8_decoding_config(R);
+        return run<int8_t, uint8_t, ViterbiDecoder_AVX_u8<K, R>>(cfg, fin, fout, block_bits);
+    } else {
+        auto cfg = get_soft16_decoding_config(R);
+        return run<int16_t, uint16_t, ViterbiDecoder_AVX_u16<K, R>>(cfg, fin, fout, block_bits);
+    }
+}

@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Throughput benchmark (parity with examples/run_benchmark.cpp).
+
+Per (code, decode_type, backend) combination, times the ACS update and
+chainback separately and emits JSON rows with the reference's schema
+(run_benchmark.cpp:297-327): name, decode_type, simd_type, K, R, G,
+total_input_bits, total_symbols, update_symbols_ns, chainback_bits_ns
+(lists of per-sample wall times in ns), so the reference's
+parse_benchmark.py works unmodified.
+
+Differences from the reference harness, by design:
+  * "simd_type" carries the backend name (XLA / PALLAS) - the TPU has
+    one kernel, not per-ISA variants.
+  * each sample decodes a *batch* of frames (frame-DP replaces the
+    thread pool); rates are aggregate symbols/s per chip.
+  * kernels are timed with in-device repeat loops (chained carries) to
+    amortise dispatch latency, mirroring the duration-bounded repeat
+    loop of run_benchmark.cpp:267-283.
+
+Flags: -c code_index  -d decode_type  -s backend  -B batch
+       -M input_bytes -T seconds_per_combo -o out.json
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
+    import jax
+    import jax.numpy as jnp
+    import viterbidecodercpp_tpu as vt
+    from viterbidecodercpp_tpu.ops import (acs_pallas, chainback_pallas,
+                                           jax_core)
+
+    config = vt.get_decode_config(decode_type, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (batch, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, batch)
+    ends = jnp.zeros(batch, jnp.int32)
+    use_pallas = backend == "PALLAS"
+    REPS = 8
+
+    @jax.jit
+    def update_n(m, s):
+        def body(i, carry):
+            m, sink = carry
+            if use_pallas:
+                m, packed, acc = acs_pallas.acs_pallas(spec, m, s)
+            else:
+                m, packed, acc = jax_core.acs_scan(spec, m, s)
+            return m, sink + packed[0, 0, 0] + acc[0]
+        return jax.lax.fori_loop(0, REPS, body, (m, jnp.zeros((), jnp.int32)))
+
+    if use_pallas:
+        _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
+    else:
+        _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+    packed = jax.block_until_ready(packed)
+
+    @jax.jit
+    def chainback_n(p):
+        def body(i, sink):
+            if use_pallas:
+                bits = chainback_pallas.chainback_pallas(spec, p, ends,
+                                                         total_bits)
+            else:
+                bits = jax_core.chainback_scan(spec, p, ends, total_bits)
+            return sink + bits.astype(jnp.int32).sum() + i
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.int32))
+
+    # warm up compiles
+    jax.block_until_ready(update_n(m0, syms))
+    jax.block_until_ready(chainback_n(packed))
+
+    update_ns, chainback_ns = [], []
+    deadline = time.perf_counter() + seconds
+    while time.perf_counter() < deadline:
+        t0 = time.perf_counter()
+        jax.block_until_ready(update_n(m0, syms))
+        update_ns.append(int((time.perf_counter() - t0) / REPS * 1e9))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chainback_n(packed))
+        chainback_ns.append(int((time.perf_counter() - t0) / REPS * 1e9))
+
+    return {
+        "name": code.name,
+        "decode_type": decode_type.value,
+        "simd_type": backend,
+        "K": code.K,
+        "R": code.R,
+        "G": list(code.G),
+        "batch": batch,
+        "total_input_bits": batch * total_bits,
+        "total_symbols": batch * T * code.R,
+        "update_symbols_ns": update_ns,
+        "chainback_bits_ns": chainback_ns,
+    }
+
+
+def main():
+    import jax
+    import viterbidecodercpp_tpu as vt
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", type=int, default=None, help="code index filter")
+    ap.add_argument("-d", default=None,
+                    choices=["soft16", "soft8", "hard8"])
+    ap.add_argument("-s", default=None, choices=["xla", "pallas"])
+    ap.add_argument("-B", type=int, default=512, help="frames per batch")
+    ap.add_argument("-M", type=int, default=256, help="input bytes/frame")
+    ap.add_argument("-T", type=float, default=2.0, help="seconds per combo")
+    ap.add_argument("-o", default=None, help="output file (default stdout)")
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    backends = [args.s.upper()] if args.s else (
+        ["PALLAS", "XLA"] if on_tpu else ["XLA"])
+    rows = []
+    for ci, code in enumerate(vt.COMMON_CODES):
+        if args.c is not None and ci != args.c:
+            continue
+        for dt in vt.DECODE_TYPES:
+            if args.d and dt.value.lower() != args.d:
+                continue
+            for backend in backends:
+                if backend == "PALLAS" and code.num_states > 4096:
+                    continue
+                print(f"benchmarking {code.name} {dt.value} {backend}...",
+                      file=sys.stderr)
+                rows.append(bench_combo(code, dt, backend, args.B, args.M,
+                                        args.T))
+    out = json.dumps(rows, indent=1)
+    if args.o:
+        with open(args.o, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

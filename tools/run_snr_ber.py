@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""AWGN BER sweep (parity with examples/run_snr_ber.cpp).
+
+Identical Eb/No math (run_snr_ber.cpp:319-325) and stopping rules
+(318-396); the whole inner block loop runs on device (see
+viterbidecodercpp_tpu/ber.py).  Emits the reference's JSON schema
+(run_snr_ber.cpp:402-441) so examples/plot_snr_ber.py-style tooling works
+unmodified; stderr progress lines also mirror the reference.
+
+NOTE on ground truth: the *committed* reference curves
+(data_snr_ber_x86.txt) were produced with a shifted Eb/No convention
+(their sweeps start at -9 dB); the reference binary built from the
+current sources produces curves matching this tool point-for-point - see
+data_ber_reference_voyager.json, regenerated on this host.
+
+Flags mirror the reference: -L traceback bytes, -n max error bits,
+-D max points, -S seed, -k bit-budget scale, -c/-d filters, -B batch.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import viterbidecodercpp_tpu as vt
+    from viterbidecodercpp_tpu import ber
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-L", type=int, default=256, help="traceback bytes/frame")
+    ap.add_argument("-n", type=int, default=10000, help="max error bits/point")
+    ap.add_argument("-D", type=int, default=24, help="max data points")
+    ap.add_argument("-S", type=int, default=0, help="random seed")
+    ap.add_argument("-k", type=float, default=1.0, help="bit budget scale")
+    ap.add_argument("-B", type=int, default=256, help="frames per device batch")
+    ap.add_argument("-c", type=int, default=None, help="code index filter")
+    ap.add_argument("-d", default=None, choices=["soft16", "soft8", "hard8"])
+    ap.add_argument("-o", default=None, help="output file (default stdout)")
+    args = ap.parse_args()
+
+    rows = []
+    for ci, code in enumerate(vt.COMMON_CODES):
+        if args.c is not None and ci != args.c:
+            continue
+        for dt in vt.DECODE_TYPES:
+            if args.d and dt.value.lower() != args.d:
+                continue
+            config = vt.get_decode_config(dt, code.R)
+            res = ber.sweep(code, config, seed=args.S,
+                            max_points=args.D,
+                            block_bits=args.L * 8, batch=args.B,
+                            max_errors=args.n, bits_scale=args.k)
+            for i, p in enumerate(res.points):
+                print(f"name='{code.name}',K={code.K},R={code.R},"
+                      f"decode={dt.value},iter={i},EbNo_dB={p.EbNo_dB:.1f},"
+                      f"BER={p.ber:.3e}", file=sys.stderr)
+            rows.append({
+                "name": code.name,
+                "decode_type": dt.value,
+                "simd_type": "PALLAS",
+                "K": code.K,
+                "R": code.R,
+                "G": list(code.G),
+                "EbNo_dB": [p.EbNo_dB for p in res.points],
+                "ber": [p.ber for p in res.points],
+                "total_bits": [p.total_bits for p in res.points],
+                "total_bit_errors": [p.total_bit_errors for p in res.points],
+            })
+    out = json.dumps(rows, indent=1)
+    if args.o:
+        with open(args.o, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

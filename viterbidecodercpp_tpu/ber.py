@@ -1,0 +1,152 @@
+"""Device-resident BER measurement (the run_snr_ber engine).
+
+The reference measures BER with a host loop: generate a block, encode,
+add noise, decode, count errors, repeat until a bit budget / error budget
+is hit (run_snr_ber.cpp:335-379).  A TPU host round-trip costs ~10^5x one
+trellis step, so here the *entire* Eb/No point runs on device: a
+``lax.while_loop`` generates batches of frames with the on-device PRNG,
+pushes them through encode -> AWGN -> quantise -> ACS -> chainback, and
+accumulates (total_bits, bit_errors) in the carry.  The host reads back
+two scalars per point.
+
+Stopping semantics mirror get_test_range / run_test
+(run_snr_ber.cpp:220-233, 318-396): per point, generate until
+``max_bits`` or ``max_errors``; per sweep, advance Eb/No in 0.5 dB steps
+from 0 until a zero-error point or the point cap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codes import CodeSpec
+from .config import DecoderConfig
+from .ops import jax_core
+from .utils import testsig
+
+__all__ = ["BerPoint", "SweepResult", "measure_point", "sweep"]
+
+
+@dataclasses.dataclass
+class BerPoint:
+    EbNo_dB: float
+    ber: float
+    total_bits: int
+    total_bit_errors: int
+
+
+@dataclasses.dataclass
+class SweepResult:
+    code: CodeSpec
+    points: List[BerPoint]
+
+    @property
+    def EbNo_dB(self):
+        return [p.EbNo_dB for p in self.points]
+
+    @property
+    def ber(self):
+        return [p.ber for p in self.points]
+
+
+def default_max_bits(code: CodeSpec, scale: float = 1.0) -> int:
+    """Bit budget per point: 1e9 / (R * 2^(K-1)) (run_snr_ber.cpp:220-233)."""
+    runtime_scale = code.R * (1 << (code.K - 1))
+    return int(math.ceil(scale * (1e9 / runtime_scale)))
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
+                  EbNo_dB: float, block_bits: int, batch: int,
+                  max_bits: int, max_errors: int, use_pallas: bool):
+    config_rate = code.R
+    total_rows = block_bits + code.K - 1
+
+    def decode(syms):
+        Bl = syms.shape[0]
+        m0 = jax_core.initial_metrics(spec, Bl)
+        if use_pallas:
+            from .ops import acs_pallas, chainback_pallas
+            _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
+            return chainback_pallas.chainback_pallas(
+                spec, packed, jnp.zeros(Bl, jnp.int32), block_bits)
+        _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+        return jax_core.chainback_scan(
+            spec, packed, jnp.zeros(Bl, jnp.int32), block_bits)
+
+    def cond(carry):
+        key, bits_done, errors = carry
+        return jnp.logical_and(bits_done < max_bits, errors < max_errors)
+
+    def body(carry):
+        key, bits_done, errors = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        tx = jax.random.bernoulli(k1, 0.5, (batch, block_bits)).astype(
+            jnp.uint8)
+        floats = testsig.modulate_encode(code, tx, True)
+        syms = testsig.awgn_quantize(floats, k2, EbNo_dB, config_rate,
+                                     _CONFIG_HOLDER[spec])
+        rx = decode(syms)
+        errors = errors + testsig.count_bit_errors(rx, tx)
+        return key, bits_done + batch * block_bits, errors
+
+    key, bits_done, errors = jax.lax.while_loop(
+        cond, body, (key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+    return bits_done, errors
+
+
+# jit static-arg plumbing: DecoderConfig rides alongside the (hashable)
+# StaticSpec it was derived from.
+_CONFIG_HOLDER = {}
+
+
+def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
+                  key, block_bits: int = 2048, batch: int = 256,
+                  max_bits: int, max_errors: int = 10_000,
+                  use_pallas: Optional[bool] = None) -> BerPoint:
+    """Measure one (code, config, Eb/No) BER point on device."""
+    spec = jax_core.make_static_spec(code, config)
+    _CONFIG_HOLDER[spec] = config
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and spec.S <= 4096)
+    bits_done, errors = _point_device(
+        spec, code, key, float(EbNo_dB), int(block_bits), int(batch),
+        int(max_bits), int(max_errors), bool(use_pallas))
+    bits_done = int(bits_done)
+    errors = int(errors)
+    return BerPoint(EbNo_dB=float(EbNo_dB),
+                    ber=errors / bits_done if bits_done else 0.0,
+                    total_bits=bits_done, total_bit_errors=errors)
+
+
+def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
+          EbNo_start: float = 0.0, EbNo_step: float = 0.5,
+          max_points: int = 24, block_bits: int = 2048, batch: int = 256,
+          max_bits: Optional[int] = None, max_errors: int = 10_000,
+          bits_scale: float = 1.0,
+          use_pallas: Optional[bool] = None) -> SweepResult:
+    """Eb/No sweep, stopping at the first zero-error point
+    (run_snr_ber.cpp:318-396)."""
+    if max_bits is None:
+        max_bits = default_max_bits(code, bits_scale)
+    key = jax.random.PRNGKey(seed)
+    points = []
+    for i in range(max_points):
+        key, sub = jax.random.split(key)
+        p = measure_point(code, config, EbNo_start + i * EbNo_step,
+                          key=sub, block_bits=block_bits, batch=batch,
+                          max_bits=max_bits, max_errors=max_errors,
+                          use_pallas=use_pallas)
+        points.append(p)
+        if p.total_bit_errors == 0:
+            break
+    return SweepResult(code=code, points=points)

@@ -1,0 +1,1 @@
+"""Host/device utilities: test-signal generation, packing, timing."""

@@ -1,0 +1,79 @@
+"""Test-signal chain: modulation, AWGN, quantisation - batched, on device.
+
+Reproduces the numeric chain of the reference BER harness exactly
+(run_snr_ber.cpp:318-359):
+
+    EsNo_dB = EbNo_dB - 10 log10(R)
+    sigma^2 = 10^(-(EsNo_dB + 3)/10)            # +3 dB for a real signal
+    norm    = 1 / sqrt(1 + sigma^2)             # noisy-signal energy
+    soft    = clamp(round(x * (mag * norm) + mean), low, high)
+
+where encode uses +/-1.0 floats, ``mag = (high - low)/2`` and
+``mean = (high + low)/2`` of the integer soft-decision range, and round
+is half-away-from-zero (std::round semantics, not banker's rounding).
+Also hosts the simple integer-noise helpers of test_helpers.h:66-93.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes import CodeSpec
+from ..config import DecoderConfig
+from ..ops import encoder
+
+__all__ = [
+    "awgn_sigma",
+    "modulate_encode",
+    "awgn_quantize",
+    "round_half_away",
+    "count_bit_errors",
+]
+
+
+def awgn_sigma(EbNo_dB: float, code_rate: int) -> float:
+    """Noise sigma for a real +/-1 signal at the given Eb/No
+    (run_snr_ber.cpp:319-322)."""
+    EsNo_dB = EbNo_dB - 10.0 * math.log10(float(code_rate))
+    variance = 10.0 ** (-(EsNo_dB + 3.0) / 10.0)
+    return math.sqrt(variance)
+
+
+def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """std::round semantics: halfway cases away from zero (numpy/jnp
+    round() is half-to-even, which would bias the quantiser)."""
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+def modulate_encode(code: CodeSpec, bits: jnp.ndarray,
+                    terminate: bool = True) -> jnp.ndarray:
+    """Encode (B, N) data bits to (B, T, R) float32 +/-1 symbols
+    (run_snr_ber.cpp:341-346 encodes with high=+1.0, low=-1.0)."""
+    y = encoder.encode_bits_jax(code, bits, terminate)
+    return jnp.where(y == 1, jnp.float32(1.0), jnp.float32(-1.0))
+
+
+def awgn_quantize(float_syms: jnp.ndarray, key, EbNo_dB: float,
+                  code_rate: int, config: DecoderConfig) -> jnp.ndarray:
+    """Add AWGN and quantise to the config's soft-decision integer range
+    (run_snr_ber.cpp:348-359)."""
+    sigma = awgn_sigma(EbNo_dB, code_rate)
+    noisy = float_syms + sigma * jax.random.normal(
+        key, float_syms.shape, jnp.float32)
+    mean = (config.soft_decision_high + config.soft_decision_low) / 2.0
+    mag = (config.soft_decision_high - config.soft_decision_low) / 2.0
+    norm = 1.0 / math.sqrt(1.0 + sigma * sigma)
+    q = round_half_away(noisy * jnp.float32(mag * norm) + jnp.float32(mean))
+    q = jnp.clip(q, config.soft_decision_low, config.soft_decision_high)
+    return q.astype(jnp.int32)
+
+
+def count_bit_errors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Total differing bits between two bit tensors
+    (test_helpers.h:95-104 without the byte LUT)."""
+    return jnp.sum((a != b).astype(jnp.int32))
