@@ -3,6 +3,9 @@
 Each variant strips one piece of the per-step work to find what dominates.
 Results are wrong for most variants - this measures cost, not correctness.
 """
+import sys
+sys.path.insert(0, ".")
+
 import time
 import numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Sanity-check timing methodology on the axon tunnel."""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+
+code = get_code("Voyager")
+config = get_decode_config(DecodeType.SOFT8, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 1024, 2048
+total_bits = T - (code.K - 1)
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
+m0 = jax_core.initial_metrics(spec, B)
+
+acs = jax.jit(lambda m, s: acs_pallas.acs_pallas(spec, m, s, interpret=False))
+out = acs(m0, syms); jax.block_until_ready(out)
+
+# scaling check: n calls should scale linearly if block_until_ready is honest
+for n in (1, 5, 20, 100):
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = acs(m0, syms)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"n={n:4d}: total {dt*1e3:9.3f} ms  per-call {dt/n*1e3:8.4f} ms")
+
+# with a host read-back each call
+t0 = time.perf_counter()
+n = 20
+for _ in range(n):
+    out = acs(m0, syms)
+    x = jax.device_get(out[2][:4])
+dt = time.perf_counter() - t0
+print(f"with device_get: per-call {dt/n*1e3:8.4f} ms, sample {x}")
+
+# chain dependent calls so no two executions can overlap
+@jax.jit
+def chained(m, s, reps):
+    def body(i, carry):
+        m, sink = carry
+        m2, packed, acc = acs_pallas.acs_pallas(spec, m, s, interpret=False)
+        return m2, sink + acc.sum()
+    return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
+
+for reps in (1, 10):
+    out = chained(m0, syms, reps); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = chained(m0, syms, reps)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"chained reps={reps:3d}: {dt*1e3:9.3f} ms -> per-iter "
+          f"{dt/reps*1e3:8.4f} ms  {B*T*code.R*reps/dt/1e9:7.2f} Gsym/s")

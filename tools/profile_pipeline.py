@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Time each stage of the decode pipeline separately (perf triage)."""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+
+code = get_code("Voyager")
+config = get_decode_config(DecodeType.SOFT8, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 1024, 2048
+total_bits = T - (code.K - 1)
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
+m0 = jax_core.initial_metrics(spec, B)
+ends = jnp.zeros(B, jnp.int32)
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:28s}: {dt*1e3:8.3f} ms   {B*T*code.R/dt/1e9:8.2f} Gsym/s")
+    return out
+
+
+acs = jax.jit(lambda m, s: acs_pallas.acs_pallas(spec, m, s, interpret=False))
+m_out, packed, acc = timeit("acs_pallas (wrapper)", acs, m0, syms)
+
+cb = jax.jit(lambda p, e: chainback_pallas.chainback_pallas(
+    spec, p, e, total_bits, interpret=False))
+timeit("chainback_pallas (wrapper)", cb, packed, ends)
+
+cbx = jax.jit(lambda p, e: jax_core.chainback_scan(spec, p, e, total_bits))
+timeit("chainback_scan (XLA)", cbx, packed, ends)
+
+full = jax.jit(lambda m, s, e: chainback_pallas.chainback_pallas(
+    spec, acs_pallas.acs_pallas(spec, m, s, interpret=False)[1], e,
+    total_bits, interpret=False))
+timeit("acs+chainback fused jit", full, m0, syms, ends)
+
+# transpose cost alone
+tr = jax.jit(lambda s: jnp.transpose(s.astype(jnp.int32), (1, 2, 0)).reshape(T * code.R, B))
+timeit("symbol transpose alone", tr, syms)

@@ -1,0 +1,270 @@
+"""ctypes bindings for the native host-side signal-chain runtime.
+
+The C++ library (native/sigchain.cpp) provides the framework's host
+runtime: multithreaded convolutional encoding, the fused
+encode->AWGN->quantise channel chain of the reference BER harness
+(run_snr_ber.cpp:337-359), puncturing/depuncturing
+(helpers/puncture_code_helpers.h) and popcount bit-error scoring
+(helpers/test_helpers.h:95-104).  Everything here has a NumPy fallback in
+``ops/numpy_ref.py``; harnesses call :func:`available` and pick the fast
+path when the shared library is present.
+
+Build: ``make -C native`` (drops ``libvdtsigchain.so`` next to this file),
+or :func:`build` to invoke the same compile from Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "build",
+    "NativeEncoder",
+    "count_bit_errors_bytes",
+    "count_bit_errors_bits",
+    "random_bytes",
+    "puncture",
+    "depuncture",
+]
+
+_LIB_NAME = "libvdtsigchain.so"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native",
+                    "sigchain.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _u8(a):
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def _i16(a):
+    return np.ascontiguousarray(a, dtype=np.int16)
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    c = ctypes
+    lib.vdt_abi_version.restype = c.c_int
+    lib.vdt_encoder_create.restype = c.c_void_p
+    lib.vdt_encoder_create.argtypes = [c.c_int, c.c_int,
+                                       c.POINTER(c.c_uint64)]
+    lib.vdt_encoder_destroy.argtypes = [c.c_void_p]
+    lib.vdt_encode_soft_i16.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint8), c.c_size_t, c.c_size_t, c.c_int,
+        c.c_int16, c.c_int16, c.c_int, c.POINTER(c.c_int16)]
+    lib.vdt_encode_bits.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint8), c.c_size_t, c.c_size_t, c.c_int,
+        c.c_int, c.POINTER(c.c_uint8)]
+    lib.vdt_encode_awgn_quantize_i16.argtypes = [
+        c.c_void_p, c.POINTER(c.c_uint8), c.c_size_t, c.c_size_t, c.c_int,
+        c.c_double, c.c_int16, c.c_int16, c.c_uint64, c.c_int,
+        c.POINTER(c.c_int16)]
+    lib.vdt_puncture_i16.restype = c.c_size_t
+    lib.vdt_puncture_i16.argtypes = [
+        c.POINTER(c.c_int16), c.c_size_t, c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int16)]
+    lib.vdt_depuncture_i16.restype = c.c_size_t
+    lib.vdt_depuncture_i16.argtypes = [
+        c.POINTER(c.c_int16), c.c_size_t, c.c_size_t, c.POINTER(c.c_uint8),
+        c.c_int16, c.POINTER(c.c_int16)]
+    lib.vdt_count_bit_errors_bytes.restype = c.c_uint64
+    lib.vdt_count_bit_errors_bytes.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.c_size_t]
+    lib.vdt_count_bit_errors_bits.restype = c.c_uint64
+    lib.vdt_count_bit_errors_bits.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.c_size_t]
+    lib.vdt_random_bytes.argtypes = [c.c_uint64, c.POINTER(c.c_uint8),
+                                     c.c_size_t]
+    return lib
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the shared library in place; returns success."""
+    out = os.path.join(_HERE, _LIB_NAME)
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+           "-march=native", "-o", out, _SRC]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0 and verbose:
+        print(res.stderr)
+    return res.returncode == 0
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    path = os.environ.get("VDT_SIGCHAIN_LIB",
+                          os.path.join(_HERE, _LIB_NAME))
+    if not os.path.exists(path) and not os.environ.get("VDT_SIGCHAIN_LIB"):
+        build()
+    try:
+        _lib = _bind(ctypes.CDLL(path))
+        if _lib.vdt_abi_version() != 1:
+            _lib = None
+            _load_failed = True
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    """True when the native runtime is loadable (builds on first demand)."""
+    return _load() is not None
+
+
+class NativeEncoder:
+    """Batched convolutional encoder + channel chain over C++ threads.
+
+    Mirrors the reference encoders (convolutional_encoder_lookup.h:15-82 /
+    convolutional_encoder_shift_register.h:14-63) and signal-chain helpers
+    (helpers/test_helpers.h:17-64, run_snr_ber.cpp:337-359).
+    """
+
+    def __init__(self, K: int, G: Sequence[int], *, n_threads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native sigchain library unavailable; "
+                               "run `make -C native` or use the NumPy path")
+        self._lib = lib
+        self.K = int(K)
+        self.G = tuple(int(g) for g in G)
+        self.R = len(self.G)
+        self.n_threads = int(n_threads)
+        g_arr = (ctypes.c_uint64 * self.R)(*self.G)
+        self._h = lib.vdt_encoder_create(self.K, self.R, g_arr)
+        if not self._h:
+            raise ValueError(f"invalid encoder parameters K={K} G={G}")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.vdt_encoder_destroy(h)
+            self._h = None
+
+    def _frame_syms(self, n_bytes: int, terminate: bool) -> int:
+        T = 8 * n_bytes + (self.K - 1 if terminate else 0)
+        return T * self.R
+
+    def encode_soft(self, data: np.ndarray, high: int, low: int, *,
+                    terminate: bool = True) -> np.ndarray:
+        """(B, n_bytes) uint8 -> (B, T*R) int16 symbols in {low, high}."""
+        data = np.atleast_2d(_u8(data))
+        B, n_bytes = data.shape
+        out = np.empty((B, self._frame_syms(n_bytes, terminate)), np.int16)
+        self._lib.vdt_encode_soft_i16(
+            self._h, _ptr(data, ctypes.c_uint8), B, n_bytes,
+            int(terminate), high, low, self.n_threads,
+            _ptr(out, ctypes.c_int16))
+        return out
+
+    def encode_bits(self, data: np.ndarray, *,
+                    terminate: bool = True) -> np.ndarray:
+        """(B, n_bytes) uint8 -> (B, T*R) uint8 encoded bits."""
+        data = np.atleast_2d(_u8(data))
+        B, n_bytes = data.shape
+        out = np.empty((B, self._frame_syms(n_bytes, terminate)), np.uint8)
+        self._lib.vdt_encode_bits(
+            self._h, _ptr(data, ctypes.c_uint8), B, n_bytes,
+            int(terminate), self.n_threads, _ptr(out, ctypes.c_uint8))
+        return out
+
+    def encode_awgn_quantize(self, data: np.ndarray, EbNo_dB: float,
+                             high: int, low: int, *, seed: int = 0,
+                             terminate: bool = True) -> np.ndarray:
+        """Fused encode -> BPSK -> AWGN -> quantise (run_snr_ber.cpp chain).
+
+        Noise is mt19937/normal_distribution seeded ``seed + frame_index``,
+        so results are reproducible and thread-count independent.
+        """
+        data = np.atleast_2d(_u8(data))
+        B, n_bytes = data.shape
+        out = np.empty((B, self._frame_syms(n_bytes, terminate)), np.int16)
+        self._lib.vdt_encode_awgn_quantize_i16(
+            self._h, _ptr(data, ctypes.c_uint8), B, n_bytes,
+            int(terminate), float(EbNo_dB), high, low, int(seed),
+            self.n_threads, _ptr(out, ctypes.c_int16))
+        return out
+
+
+def count_bit_errors_bytes(a: np.ndarray, b: np.ndarray) -> int:
+    """Popcount of XOR over byte arrays (test_helpers.h:95-104)."""
+    a, b = _u8(a).ravel(), _u8(b).ravel()
+    if a.size != b.size:
+        raise ValueError("size mismatch")
+    lib = _load()
+    if lib is None:
+        return int(np.unpackbits(a ^ b).sum())
+    return int(lib.vdt_count_bit_errors_bytes(
+        _ptr(a, ctypes.c_uint8), _ptr(b, ctypes.c_uint8), a.size))
+
+
+def count_bit_errors_bits(a: np.ndarray, b: np.ndarray) -> int:
+    """Mismatch count over 0/1 bit arrays."""
+    a, b = _u8(a).ravel(), _u8(b).ravel()
+    if a.size != b.size:
+        raise ValueError("size mismatch")
+    lib = _load()
+    if lib is None:
+        return int((a != b).sum())
+    return int(lib.vdt_count_bit_errors_bits(
+        _ptr(a, ctypes.c_uint8), _ptr(b, ctypes.c_uint8), a.size))
+
+
+def random_bytes(seed: int, n: int) -> np.ndarray:
+    """Deterministic test bytes (generate_random_bytes equivalent)."""
+    lib = _load()
+    if lib is None:
+        return np.random.RandomState(seed & 0xFFFFFFFF).randint(
+            0, 256, n, dtype=np.uint8)
+    out = np.empty(n, np.uint8)
+    lib.vdt_random_bytes(int(seed), _ptr(out, ctypes.c_uint8), n)
+    return out
+
+
+def puncture(syms: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Drop symbols where mask==0 (encode_punctured_data semantics)."""
+    syms, mask = _i16(syms).ravel(), _u8(mask).ravel()
+    if syms.size != mask.size:
+        raise ValueError("mask length must equal symbol count")
+    lib = _load()
+    if lib is None:
+        return syms[mask.astype(bool)]
+    out = np.empty(int(mask.astype(bool).sum()), np.int16)
+    n = lib.vdt_puncture_i16(_ptr(syms, ctypes.c_int16), syms.size,
+                             _ptr(mask, ctypes.c_uint8),
+                             _ptr(out, ctypes.c_int16))
+    return out[:n]
+
+
+def depuncture(kept: np.ndarray, mask: np.ndarray,
+               neutral: int = 0) -> np.ndarray:
+    """Re-inflate kept symbols to the full lattice, inserting ``neutral``
+    at punctured positions (decode_punctured_symbols semantics)."""
+    kept, mask = _i16(kept).ravel(), _u8(mask).ravel()
+    lib = _load()
+    if lib is None:
+        out = np.full(mask.size, neutral, np.int16)
+        out[mask.astype(bool)] = kept[:int(mask.astype(bool).sum())]
+        return out
+    out = np.empty(mask.size, np.int16)
+    lib.vdt_depuncture_i16(_ptr(kept, ctypes.c_int16), kept.size,
+                           mask.size, _ptr(mask, ctypes.c_uint8),
+                           ctypes.c_int16(neutral),
+                           _ptr(out, ctypes.c_int16))
+    return out
