@@ -6,9 +6,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The measured pipeline is the full decode: batched ACS (Pallas kernel) +
 batched chainback (Pallas kernel), i.e. the same work the reference's
 run_benchmark times as update + chainback (run_benchmark.cpp:267-281).
-Timing uses an in-device fori_loop with the metric carry chained between
-iterations - a single dispatch whose iterations cannot overlap or be
-elided - so RPC/dispatch latency of the axon tunnel is amortised away.
+
+Timing methodology (the axon tunnel's block_until_ready does not
+synchronise device completion, and each dispatch carries ~10 ms of RPC
+latency): run N carry-chained pipeline iterations *inside one jit* - the
+metric carry makes overlap impossible - for N=1 and N=16, and report the
+marginal (t16 - t1)/15, which cancels dispatch overhead exactly.
 
 vs_baseline divides by the best reference 8-bit kernel (SSE/AVX2 u8)
 measured on this host with the reference's own run_benchmark
@@ -41,28 +44,34 @@ def main():
     m0 = jax_core.initial_metrics(spec, B)
     ends = jnp.zeros(B, jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
-    REPS = 10 if on_tpu else 1
 
-    @jax.jit
-    def pipeline(m, s):
-        def body(i, carry):
-            m, sink = carry
-            m, packed, acc = acs_pallas.acs_pallas(spec, m, s,
-                                                   interpret=not on_tpu)
-            bits = chainback_pallas.chainback_pallas(
-                spec, packed, ends, total_bits, interpret=not on_tpu)
-            return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
-        return jax.lax.fori_loop(0, REPS, body, (m, jnp.zeros((), jnp.int32)))
+    def make(reps):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                m, sink = carry
+                m, packed, acc = acs_pallas.acs_pallas(
+                    spec, m, syms, interpret=not on_tpu)
+                bits = chainback_pallas.chainback_pallas(
+                    spec, packed, ends, total_bits, interpret=not on_tpu)
+                return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
+            return jax.lax.fori_loop(0, reps, body,
+                                     (m0, jnp.zeros((), jnp.int32)))
+        return run
 
-    out = pipeline(m0, syms)
-    jax.block_until_ready(out)
-    n = 3
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = pipeline(m0, syms)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / (n * REPS)
+    N = 16 if on_tpu else 2
+    f1, fN = make(1), make(N)
+    jax.block_until_ready(f1())
+    jax.block_until_ready(fN())
 
+    def t(f, outer=3):
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / outer
+
+    dt = (t(fN) - t(f1)) / (N - 1)
     symbols_per_s = B * T * code.R / dt
 
     # Best reference 8-bit update rate measured on this host.

@@ -69,3 +69,61 @@ def test_k15_falls_back_to_xla():
     config = get_decode_config(DecodeType.SOFT16, code.R)
     spec = jax_core.make_static_spec(code, config)
     assert not acs_pallas._supports(spec)
+
+
+@pytest.mark.parametrize("mxu_bm", [True, False])
+@pytest.mark.parametrize("mxu_pack", [True, False])
+@pytest.mark.parametrize("cond_renorm", [True, False])
+def test_acs_fast_paths_bit_exact(mxu_bm, mxu_pack, cond_renorm):
+    """Every MXU/conditional-renorm combination must match the XLA scan
+    bit-for-bit (heavy noise forces real renormalisations)."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=24, batch=2, noise=3,
+                              seed=7)
+    m0 = jax_core.initial_metrics(spec, 2)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(
+        spec, m0, syms, interpret=True, mxu_bm=mxu_bm, mxu_pack=mxu_pack,
+        cond_renorm=cond_renorm)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+@pytest.mark.parametrize("arith", ["saturating", "wrapping"])
+@pytest.mark.parametrize("nbits_extra", [0, 3, 9])
+def test_acs_ragged_tail_and_modes(arith, nbits_extra):
+    """Tails that don't fill a DMA chunk leave the carry untouched past
+    the stream end, in both arithmetic modes."""
+    code = get_code("Basic K=5 R=1/2")
+    config = get_decode_config(DecodeType.SOFT16, code.R, arith=arith)
+    spec = jax_core.make_static_spec(code, config)
+    rng = np.random.RandomState(nbits_extra)
+    T = 16 + nbits_extra
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (2, T, code.R)).astype(np.int64))
+    m0 = jax_core.initial_metrics(spec, 2)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+def test_acs_k9_above_mxu_bound_still_exact():
+    """K=9 (H=128) exceeds MAX_MXU_HALF_STATES: the elementwise paths
+    must engage and stay exact."""
+    code = get_code("CDMA IS-95A")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert spec.H > acs_pallas.MAX_MXU_HALF_STATES
+    data, syms = make_symbols(code, config, nbytes=4, batch=1, noise=2)
+    m0 = jax_core.initial_metrics(spec, 1)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))

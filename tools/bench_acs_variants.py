@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""A/B the ACS fast paths on the real TPU.
+
+Protocol (the tunnel adds ~10 ms RPC latency per dispatch AND the device
+shows run-to-run variance): reps is a *traced* fori_loop bound so each
+variant compiles once; marginal time = (t(N) - t(1)) / (N - 1) with
+N = 65, repeated `trials` times interleaved across variants; report the
+min (least-interference) marginal.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, jax_core
+
+code = get_code("Voyager")
+config = get_decode_config(DecodeType.SOFT8, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 1024, 2048
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
+m0 = jax_core.initial_metrics(spec, B)
+N = 65
+
+
+def make(acs):
+    @jax.jit
+    def run(reps):
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = acs(m, syms)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m0, jnp.zeros((), jnp.int32)))
+    return run
+
+
+def t(f, reps):
+    out = f(reps)
+    jax.block_until_ready(out)
+    return None
+
+
+def timed(f, reps):
+    t0 = time.perf_counter()
+    out = f(reps)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+variants = [
+    ("base tb128", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False)),
+    ("base tb256", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
+                        time_block=256)),
+    ("base tb256 dup", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
+                            time_block=256)),
+    # time_block=512 OOMs VMEM at B=1024 (2x double-buffered 4MB symbol +
+    # 4MB decision blocks + metrics > 16MB) - 256 is the practical max.
+    ("pack tb128", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False)),
+    ("pack tb256", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False,
+                        time_block=256)),
+]
+if "--full" in sys.argv:
+    variants += [
+        ("cond_renorm", dict(mxu_bm=False, mxu_pack=False, cond_renorm=True)),
+        ("mxu_bm", dict(mxu_bm=True, mxu_pack=False, cond_renorm=False)),
+        ("all on", dict(mxu_bm=True, mxu_pack=True, cond_renorm=True)),
+    ]
+
+fns = []
+for name, kw in variants:
+    acs = lambda m, s=syms, kw=kw: acs_pallas.acs_pallas(
+        spec, m, s, interpret=False, **kw)
+    f = make(acs)
+    timed(f, 1)  # compile + warm
+    timed(f, N)
+    fns.append((name, f))
+
+trials = 8
+best = {name: float("inf") for name, _ in fns}
+for trial in range(trials):
+    for name, f in fns:
+        t1 = timed(f, 1)
+        tN = timed(f, N)
+        marg = (tN - t1) / (N - 1)
+        best[name] = min(best[name], marg)
+
+for name, _ in fns:
+    dt = best[name]
+    print(f"{name:22s}: {dt*1e3:8.3f} ms  {B*T*code.R/dt/1e9:7.2f} Gsym/s")

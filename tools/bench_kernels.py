@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Honest kernel timing on the axon tunnel.
+
+block_until_ready over the tunnel does not synchronise device completion,
+so wall-clock around single dispatches measures RPC latency, not kernel
+time.  Method here: run N carry-chained iterations *inside one jit* (no
+overlap possible), time reps=1 and reps=N, and report the marginal
+(tN - t1)/(N - 1) - dispatch overhead cancels.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+
+
+def marginal_time(make_chained, n=8, outer=3):
+    """make_chained(reps) -> jitted zero-arg thunk returning device vals."""
+    f1, fN = make_chained(1), make_chained(n)
+    for f in (f1, fN):
+        jax.block_until_ready(f())
+    def t(f):
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / outer
+    t1, tN = t(f1), t(fN)
+    return (tN - t1) / (n - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--code", default="Voyager")
+    ap.add_argument("-d", "--decode-type", default="SOFT8")
+    ap.add_argument("-B", type=int, default=1024)
+    ap.add_argument("-T", type=int, default=2048)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    args = ap.parse_args()
+
+    code = get_code(args.code)
+    config = get_decode_config(DecodeType(args.decode_type), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    B, T = args.B, args.T
+    total_bits = T - (code.K - 1)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    ends = jnp.zeros(B, jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
+
+    if args.backend == "pallas":
+        acs = lambda m, s: acs_pallas.acs_pallas(spec, m, s, interpret=interp)
+        cb = lambda p, e: chainback_pallas.chainback_pallas(
+            spec, p, e, total_bits, interpret=interp)
+    else:
+        acs = lambda m, s: jax_core.acs_scan(spec, m, s)
+        cb = lambda p, e: jax_core.chainback_scan(spec, p, e, total_bits)
+
+    def make_acs(reps):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                m, sink = carry
+                m2, packed, acc = acs(m, syms)
+                return m2, sink + acc.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, reps, body,
+                                     (m0, jnp.zeros((), jnp.int32)))
+        return run
+
+    dt = marginal_time(make_acs)
+    print(f"ACS       ({args.backend}): {dt*1e3:8.3f} ms  "
+          f"{B*T*code.R/dt/1e9:7.2f} Gsym/s   "
+          f"({B*T/dt/1e9:5.2f} Gbit/s decoded)")
+
+    _, packed, _ = jax.jit(lambda: acs(m0, syms), donate_argnums=())()
+    packed = jax.block_until_ready(packed)
+
+    def make_cb(reps):
+        @jax.jit
+        def run():
+            def body(i, sink):
+                bits = cb(packed, ends + (sink & 0))
+                return sink + bits.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+        return run
+
+    dt = marginal_time(make_cb)
+    print(f"chainback ({args.backend}): {dt*1e3:8.3f} ms  "
+          f"{B*total_bits/dt/1e9:7.2f} Gbit/s")
+
+    def make_full(reps):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                m, sink = carry
+                m2, packed, acc = acs(m, syms)
+                bits = cb(packed, ends)
+                return m2, sink + bits.astype(jnp.int32).sum() + acc.sum()
+            return jax.lax.fori_loop(0, reps, body,
+                                     (m0, jnp.zeros((), jnp.int32)))
+        return run
+
+    dt = marginal_time(make_full)
+    print(f"full pipe ({args.backend}): {dt*1e3:8.3f} ms  "
+          f"{B*T*code.R/dt/1e9:7.2f} Gsym/s")
+
+
+if __name__ == "__main__":
+    main()

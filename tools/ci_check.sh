@@ -1,0 +1,13 @@
+#!/bin/sh
+# CI-style gate (SURVEY.md section 7 step 8): the full CPU-mesh test
+# suite plus the self-checking harness executables, mirroring the
+# reference workflows (.github/workflows/x86-linux.yml:24-42).
+# Runs anywhere; uses the TPU automatically when one is attached.
+set -e
+cd "$(dirname "$0")/.."
+
+python -m pytest tests/ -q
+python tools/run_simple.py
+python tools/run_tests.py
+python tools/run_punctured_decoder.py
+echo "ci_check: ALL GREEN"

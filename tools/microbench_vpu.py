@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Micro-probes: int16 vs int32 VPU rate; scalar any() + pl.when in kernel."""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 1024
+ROWS = 32
+ITERS = 512
+
+
+def make(dtype):
+    def kernel(x_ref, o_ref):
+        def body(i, acc):
+            v = acc + x_ref[:]
+            v = jnp.minimum(v, jnp.asarray(255, dtype))
+            v = jnp.where(x_ref[:] > acc, v, acc + jnp.asarray(1, dtype))
+            return v
+        o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+
+    x = jnp.asarray(np.random.randint(0, 3, (ROWS, B)), dtype)
+    f = jax.jit(lambda x: pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((ROWS, B), dtype))(x))
+    return f, x
+
+
+def chained_time(f, x, reps):
+    @jax.jit
+    def run(x):
+        def body(i, v):
+            return f(v)
+        return jax.lax.fori_loop(0, reps, body, x)
+    out = run(x); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(x); jax.block_until_ready(out)
+    out = run(x); jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / 2
+
+
+for dt in (jnp.int32, jnp.int16, jnp.int8, jnp.float32, jnp.bfloat16):
+    try:
+        f, x = make(dt)
+        t1 = chained_time(lambda v: f(v), x, 1)
+        t9 = chained_time(lambda v: f(v), x, 9)
+        per = (t9 - t1) / 8
+        ops = ROWS * B * ITERS * 4
+        print(f"{jnp.dtype(dt).name:9s}: {per*1e3:7.3f} ms/call "
+              f"{ops/per/1e12:6.2f} Tops/s")
+    except Exception as e:
+        print(f"{jnp.dtype(dt).name:9s}: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:90]}")
+
+# scalar any + pl.when on a data-dependent predicate
+def kernel2(x_ref, o_ref):
+    v = x_ref[:]
+    need = jnp.any(v[0:1, :] > 100)
+
+    @pl.when(need)
+    def _():
+        o_ref[:] = v - jnp.min(v, axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_not(need))
+    def _():
+        o_ref[:] = v
+
+x = jnp.asarray(np.random.randint(0, 50, (ROWS, B)), jnp.int32)
+try:
+    f2 = jax.jit(lambda x: pl.pallas_call(
+        kernel2, out_shape=jax.ShapeDtypeStruct((ROWS, B), jnp.int32))(x))
+    r = np.asarray(f2(x))
+    np.testing.assert_array_equal(r, np.asarray(x))
+    x2 = x.at[0, 5].set(200)
+    r2 = np.asarray(f2(x2))
+    exp = np.asarray(x2) - np.asarray(x2).min(axis=0, keepdims=True)
+    np.testing.assert_array_equal(r2, exp)
+    print("scalar-any + pl.when: OK (both branches exact)")
+except Exception as e:
+    print(f"scalar-any + pl.when FAILED: {type(e).__name__}: "
+          f"{str(e).splitlines()[0][:120]}")
+
+# small matmul on MXU inside kernel: (32,256)@(256,B)
+M = np.zeros((32, 256), np.float32)
+for j in range(32):
+    M[j, (j * 8) % 256:(j * 8) % 256 + 8] = 4.0 ** np.arange(8)
+Mj = jnp.asarray(M)
+
+def kernel3(m_ref, c_ref, o_ref):
+    d = jax.lax.dot_general(
+        m_ref[:], c_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = d.astype(jnp.int32)
+
+c = jnp.asarray(np.random.randint(0, 4, (256, B)), jnp.float32)
+try:
+    f3 = jax.jit(lambda m, c: pl.pallas_call(
+        kernel3, out_shape=jax.ShapeDtypeStruct((32, B), jnp.int32))(m, c))
+    r = np.asarray(f3(Mj, c))
+    exp = (M @ np.asarray(c)).astype(np.int64)
+    np.testing.assert_array_equal(r, exp)
+    print("in-kernel f32 matmul: OK (exact)")
+except Exception as e:
+    print(f"in-kernel matmul FAILED: {type(e).__name__}: "
+          f"{str(e).splitlines()[0][:120]}")

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Capture a jax.profiler device trace of the decode pipeline.
+
+The framework's tracing/profiling story (SURVEY.md section 5): where the
+reference wraps reset/update/chainback in nanosecond timers
+(run_benchmark.cpp:267-281), on TPU the ground truth is the XLA device
+trace.  Writes a TensorBoard-loadable trace directory.
+
+Usage: python tools/profile_trace.py [outdir] [reps]
+"""
+import sys
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+    from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vdt_trace"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    B, T = 1024, 2048
+    total_bits = T - (code.K - 1)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    ends = jnp.zeros(B, jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def pipeline(m):
+        def body(i, carry):
+            m, sink = carry
+            m, packed, acc = acs_pallas.acs_pallas(spec, m, syms,
+                                                   interpret=not on_tpu)
+            bits = chainback_pallas.chainback_pallas(
+                spec, packed, ends, total_bits, interpret=not on_tpu)
+            return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
+        return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
+
+    jax.block_until_ready(pipeline(m0))  # compile outside the trace
+    with jax.profiler.trace(outdir):
+        jax.block_until_ready(pipeline(m0))
+    print(f"trace written to {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,23 +15,38 @@ Layout (TPU-first):
   * The butterfly interleave new[2h], new[2h+1] <- (even, odd) is an
     (H, 2, B) -> (S, B) reshape on the sublane axis - the Mosaic analogue
     of _mm_unpacklo/hi_epi16 (x86/viterbi_decoder_sse_u16.h:119-131).
-  * Decision bits pack 32 states/lane into int32 words via a
-    shift-weighted sublane reduction (TPU has no movemask;
-    SURVEY.md section 7).
   * The time loop runs *inside* the kernel: the grid walks blocks of
     TIME_BLOCK trellis steps, symbols stream in and packed decisions
     stream out through pipelined block DMA, while the metric vector stays
     resident in VMEM across the whole call (constant-index output block).
 
+MXU offload (both bit-exact; enabled when applicable):
+  * Branch metrics: all three decode regimes use a symmetric soft range
+    [-A, A], so |bt - sym| == A - sign(bt)*sym for in-range symbols and
+    the per-step branch-metric sum collapses to one block-diagonal
+    bf16 matmul per chunk, d = Sigma @ sym, with bm = R*A - d and
+    ibm = R*A + d (offset-binary symmetry, viterbi_decoder_scalar.h:97).
+    Products <= 127 and sums <= 762 are exact in bf16 x bf16 -> f32.
+  * Decision packing: TPU has no movemask; the 32-states-per-int32 words
+    (ViterbiDecisionBits layout, viterbi_decoder_core.h:49-83) are built
+    as two exact 16-bit halves via one (2*CHUNK*W, CHUNK*H) f32 matmul
+    per chunk over c = dec0 + 2*dec1 (half-word sums <= 65535 < 2^24).
+
+Renormalisation is *conditional*: the per-step state-0 threshold gate
+(viterbi_decoder_scalar.h:48) is reduced to a scalar with jnp.any and the
+min-reduce/subtract runs under pl.when only on steps where some lane
+gates - semantically identical, since sub == 0 for non-gating lanes.
+
 Semantics are bit-identical to ops/numpy_ref.acs_run (saturating or
-wrapping mode), including the state-0-gated renormalisation
-(viterbi_decoder_scalar.h:48).
+wrapping mode).  Contract: symbols lie in [low, high] (the reference
+harness clamps, helpers/test_helpers.h:88-93); out-of-range symbols only
+matter for the MXU branch-metric path, disable with mxu_bm=False.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +66,11 @@ DEFAULT_TIME_BLOCK = 128  # trellis steps per grid step
 # in VMEM with B = 128 lanes; fall back to the XLA scan (K = 15 Cassini).
 MAX_PALLAS_STATES = 4096
 
+# MXU offload bound: the per-chunk (CHUNK*H, B) matmul operands must stay
+# small next to the metric tensor; above this half-state count the
+# elementwise paths win on VMEM pressure.
+MAX_MXU_HALF_STATES = 64
+
 
 def _supports(spec: StaticSpec) -> bool:
     return spec.S <= MAX_PALLAS_STATES
@@ -66,81 +86,187 @@ _pack_words = jax_core.pack_decisions
 CHUNK = 8
 
 
-def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int):
+def _symmetric_amplitude(spec: StaticSpec) -> Optional[int]:
+    """A when the branch table is {-A, +A}-valued, else None."""
+    bt = np.asarray(spec.bt)
+    amp = int(bt.max())
+    if amp > 0 and int(bt.min()) == -amp and np.isin(bt, (-amp, amp)).all():
+        return amp
+    return None
+
+
+def _bm_matrix(spec: StaticSpec, amp: int) -> np.ndarray:
+    """Block-diagonal (CHUNK*H, CHUNK*R) sign matrix for the branch-metric
+    matmul: M[t*H + h, t*R + r] = sign(bt[r, h])."""
+    H, R = spec.H, spec.R
+    sigma = np.where(np.asarray(spec.bt) == amp, 1.0, -1.0)   # (R, H)
+    m = np.zeros((CHUNK * H, CHUNK * R), np.float32)
+    for t in range(CHUNK):
+        m[t * H:(t + 1) * H, t * R:(t + 1) * R] = sigma.T
+    return m
+
+
+def _pack_matrix(spec: StaticSpec) -> np.ndarray:
+    """(2*CHUNK*W, CHUNK*H) weights building each packed int32 word as two
+    exact 16-bit halves from c = dec0 + 2*dec1 (c entry h covers states
+    2h, 2h+1 at word bits 2*(h%16), 2*(h%16)+1)."""
+    H, W = spec.H, spec.W
+    CW = CHUNK * W
+    m = np.zeros((2 * CW, CHUNK * H), np.float32)
+    for t in range(CHUNK):
+        for w in range(W):
+            for h in range(16 * w, min(16 * w + 16, H)):
+                bitpos = 2 * (h - 16 * w)
+                if bitpos < 16:
+                    m[t * W + w, t * H + h] = float(1 << bitpos)
+                else:
+                    m[CW + t * W + w, t * H + h] = float(1 << (bitpos - 16))
+    return m
+
+
+def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
+                 mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
+                 amp: Optional[int]):
     H, S, W, R = spec.H, spec.S, spec.W, spec.R
     cap = spec.metric_max
     saturating = spec.saturating
+    thr = spec.renorm_threshold
+    RA = (R * amp) if amp is not None else None
+    CW = CHUNK * W
+    num_chunks = time_block // CHUNK
 
-    def one_step(metrics, sym_rows):
-        """(metrics (S,B), R static symbol rows) -> (new (S,B), dec0, dec1)."""
-        bm = jnp.abs(_bt_rows[0] - sym_rows[0])
-        for i in range(1, R):
-            bm = bm + jnp.abs(_bt_rows[i] - sym_rows[i])
-        ibm = spec.max_error - bm
-        lo = metrics[0:H, :]
-        hi = metrics[H:S, :]
-        e00 = lo + bm
-        e10 = hi + ibm
-        e01 = lo + ibm
-        e11 = hi + bm
-        if saturating:
-            e00 = jnp.minimum(e00, cap)
-            e10 = jnp.minimum(e10, cap)
-            e01 = jnp.minimum(e01, cap)
-            e11 = jnp.minimum(e11, cap)
-            dec0 = (e10 <= e00).astype(jnp.int32)
-            dec1 = (e11 <= e01).astype(jnp.int32)
-        else:
-            e00 = jnp.bitwise_and(e00, cap)
-            e10 = jnp.bitwise_and(e10, cap)
-            e01 = jnp.bitwise_and(e01, cap)
-            e11 = jnp.bitwise_and(e11, cap)
-            dec0 = (e00 > e10).astype(jnp.int32)
-            dec1 = (e01 > e11).astype(jnp.int32)
-        new_even = jnp.where(dec0 == 1, e10, e00)
-        new_odd = jnp.where(dec1 == 1, e11, e01)
-        # Sublane interleave: (H, 2, B) -> (S, B) - the Mosaic analogue of
-        # _mm_unpacklo/hi (x86/viterbi_decoder_sse_u16.h:119-131).
-        new_metrics = jnp.stack([new_even, new_odd], axis=1).reshape(S, -1)
-        return new_metrics, dec0, dec1
+    def kernel(*refs):
+        it = iter(refs)
+        bt_ref = None if mxu_bm else next(it)
+        bmmat_ref = next(it) if mxu_bm else None
+        packmat_ref = next(it) if mxu_pack else None
+        init_ref = next(it)
+        sym_ref = next(it)
+        metrics_ref = next(it)
+        packed_ref = next(it)
+        acc_ref = next(it)
 
-    _bt_rows = [None] * R  # bound inside kernel (needs the ref)
-
-    def kernel(bt_ref, init_ref, sym_ref, metrics_ref, packed_ref, acc_ref):
         block = pl.program_id(0)
-        for i in range(R):
-            _bt_rows[i] = bt_ref[i * H:(i + 1) * H, :]
 
         @pl.when(block == 0)
         def _init():
             metrics_ref[:] = init_ref[:]
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        num_chunks = time_block // CHUNK
+        if not mxu_bm:
+            bt_rows = [bt_ref[i * H:(i + 1) * H, :] for i in range(R)]
+
+        def acs_core(metrics, bm_arg):
+            """One trellis step: (S,B) metrics -> (new (S,B), dec0, dec1)."""
+            lo = metrics[0:H, :]
+            hi = metrics[H:S, :]
+            if mxu_bm:
+                d = bm_arg                      # (H, B) signed correlation
+                u = lo + RA                     # lo + bm = u - d
+                v = hi + RA                     # hi + ibm = v + d
+                e00 = u - d
+                e10 = v + d
+                e01 = u + d
+                e11 = v - d
+            else:
+                rows = bm_arg
+                bm = jnp.abs(bt_rows[0] - rows[0])
+                for i in range(1, R):
+                    bm = bm + jnp.abs(bt_rows[i] - rows[i])
+                ibm = spec.max_error - bm
+                e00 = lo + bm
+                e10 = hi + ibm
+                e01 = lo + ibm
+                e11 = hi + bm
+            if saturating:
+                e00 = jnp.minimum(e00, cap)
+                e10 = jnp.minimum(e10, cap)
+                e01 = jnp.minimum(e01, cap)
+                e11 = jnp.minimum(e11, cap)
+                dec0 = e10 <= e00               # SIMD tie -> predecessor 1
+                dec1 = e11 <= e01
+            else:
+                e00 = jnp.bitwise_and(e00, cap)
+                e10 = jnp.bitwise_and(e10, cap)
+                e01 = jnp.bitwise_and(e01, cap)
+                e11 = jnp.bitwise_and(e11, cap)
+                dec0 = e00 > e10                # scalar tie -> predecessor 0
+                dec1 = e01 > e11
+            new_even = jnp.where(dec0, e10, e00)
+            new_odd = jnp.where(dec1, e11, e01)
+            # Sublane interleave: (H, 2, B) -> (S, B) - the Mosaic analogue
+            # of _mm_unpacklo/hi (x86/viterbi_decoder_sse_u16.h:119-131).
+            nm = jnp.stack([new_even, new_odd], axis=1).reshape(S, -1)
+            return nm, dec0, dec1
+
+        def commit(nm, live):
+            """Renormalise (gated on the state-0 metric,
+            viterbi_decoder_scalar.h:48) and write the carry; steps past
+            the stream end (live=False) leave state untouched.  The
+            per-step VMEM ref round-trip measures *faster* than carrying
+            the metric vector as a value across the unrolled chunk
+            (register pressure; tools/bench_acs_variants.py)."""
+            gate = jnp.logical_and(nm[0:1, :] >= thr, live)
+            if cond_renorm:
+                # Measured slower on v5e (the scalar any() serialises the
+                # VPU pipeline); kept as an ablation arm.
+                need = jnp.any(gate)
+
+                @pl.when(need)
+                def _renorm():
+                    mins = jnp.min(nm, axis=0, keepdims=True)
+                    sub = jnp.where(gate, mins, 0)
+                    metrics_ref[:] = nm - sub
+                    acc_ref[:] = acc_ref[:] + sub
+
+                @pl.when(jnp.logical_and(live, jnp.logical_not(need)))
+                def _plain():
+                    metrics_ref[:] = nm
+            else:
+                @pl.when(live)
+                def _always():
+                    mins = jnp.min(nm, axis=0, keepdims=True)
+                    sub = jnp.where(gate, mins, 0)
+                    metrics_ref[:] = nm - sub
+                    acc_ref[:] = acc_ref[:] + sub
 
         def chunk_body(c, _):
             sym_off = pl.multiple_of(c * (CHUNK * R), CHUNK * R)
             syms = sym_ref[pl.ds(sym_off, CHUNK * R), :]     # (CHUNK*R, B)
+            if mxu_bm:
+                d_all = jax.lax.dot_general(
+                    bmmat_ref[:].astype(jnp.bfloat16),
+                    syms.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
             gbase = block * time_block + c * CHUNK
-            packed_rows = []
+            decs = []
             for t in range(CHUNK):
-                gstep = gbase + t
-                live = gstep < total_steps
                 metrics = metrics_ref[:]
-                rows = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
-                new_metrics, dec0, dec1 = one_step(metrics, rows)
-                # Renormalise, gated on the state-0 metric
-                # (viterbi_decoder_scalar.h:48).
-                gate = jnp.logical_and(
-                    new_metrics[0:1, :] >= spec.renorm_threshold, live)
-                mins = jnp.min(new_metrics, axis=0, keepdims=True)
-                sub = jnp.where(gate, mins, 0)
-                metrics_ref[:] = jnp.where(live, new_metrics - sub, metrics)
-                acc_ref[:] = acc_ref[:] + sub
-                packed_rows.append(_pack_words(spec, dec0, dec1))
-            pack_off = pl.multiple_of(c * (CHUNK * W), CHUNK * W)
-            packed_ref[pl.ds(pack_off, CHUNK * W), :] = jnp.concatenate(
-                packed_rows, axis=0)
+                if mxu_bm:
+                    arg = d_all[t * H:(t + 1) * H, :]
+                else:
+                    arg = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
+                nm, dec0, dec1 = acs_core(metrics, arg)
+                commit(nm, gbase + t < total_steps)
+                decs.append((dec0, dec1))
+            if mxu_pack:
+                c_all = jnp.concatenate(
+                    [d0.astype(jnp.float32) + 2.0 * d1.astype(jnp.float32)
+                     for d0, d1 in decs], axis=0)            # (CHUNK*H, B)
+                halves = jax.lax.dot_general(
+                    packmat_ref[:].astype(jnp.bfloat16),
+                    c_all.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                slab = halves[0:CW, :] + (halves[CW:2 * CW, :] << 16)
+            else:
+                slab = jnp.concatenate(
+                    [_pack_words(spec, d0.astype(jnp.int32),
+                                 d1.astype(jnp.int32)) for d0, d1 in decs],
+                    axis=0)
+            pack_off = pl.multiple_of(c * CW, CW)
+            packed_ref[pl.ds(pack_off, CW), :] = slab
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -148,24 +274,46 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
                        symbols: jnp.ndarray, time_block: int,
-                       total_steps: int, interpret: bool
+                       total_steps: int, interpret: bool,
+                       mxu_bm: bool, mxu_pack: bool, cond_renorm: bool
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Padded-layout kernel launch.
 
     metrics: (S, B) int32; symbols: (T_pad * R, B) int32 with
     T_pad % time_block == 0.  Returns (metrics (S, B),
-    packed (T_pad * W, B), acc (1, B)).
+    packed (T_pad * W, B) int32, acc (1, B)).
     """
     S, W, R, H = spec.S, spec.W, spec.R, spec.H
     TR, B = symbols.shape
     T_pad = TR // R
     num_blocks = T_pad // time_block
-    bt = np.asarray(spec.bt, dtype=np.int32).reshape(R * H, 1)
+    amp = _symmetric_amplitude(spec) if mxu_bm else None
+    mxu_bm = mxu_bm and amp is not None
 
-    kernel = _make_kernel(spec, time_block, total_steps)
+    kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
+                          cond_renorm, amp)
+
+    const_specs = []
+    const_vals = []
+    if not mxu_bm:
+        bt = np.asarray(spec.bt, dtype=np.int32).reshape(R * H, 1)
+        const_specs.append(pl.BlockSpec((R * H, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        const_vals.append(jnp.asarray(bt))
+    else:
+        m = _bm_matrix(spec, amp)
+        const_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        const_vals.append(jnp.asarray(m))
+    if mxu_pack:
+        m = _pack_matrix(spec)
+        const_specs.append(pl.BlockSpec(m.shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        const_vals.append(jnp.asarray(m))
+
     out_shapes = (
         jax.ShapeDtypeStruct((S, B), jnp.int32),
         jax.ShapeDtypeStruct((T_pad * W, B), jnp.int32),
@@ -173,9 +321,7 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
     )
     grid_spec = pl.GridSpec(
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((R * H, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=const_specs + [
             pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((time_block * R, B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -199,12 +345,27 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.asarray(bt), metrics, symbols)
+    )(*const_vals, metrics, symbols)
+
+
+def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
+                     ) -> int:
+    """Largest CHUNK-multiple block whose double-buffered symbol +
+    decision DMA blocks and the resident metric/branch tensors fit the
+    VMEM budget (16 MiB/core on v5e; leave headroom for scratch)."""
+    budget = 12 * 1024 * 1024
+    resident = spec.S * B_pad * 4 + 4096
+    per_step = 2 * (spec.R + spec.W) * B_pad * 4    # both DMA buffers
+    tb = (budget - resident) // max(per_step, 1)
+    tb = max(CHUNK, (tb // CHUNK) * CHUNK)
+    tb = min(tb, 256 if requested is None else requested)
+    return max(CHUNK, (tb // CHUNK) * CHUNK)
 
 
 def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
-               *, time_block: int = DEFAULT_TIME_BLOCK,
-               interpret: bool = None
+               *, time_block: Optional[int] = None,
+               interpret: bool = None, mxu_bm: bool = False,
+               mxu_pack: bool = True, cond_renorm: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -215,6 +376,13 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     multiple of ``time_block``, launches the fused kernel, and slices the
     padding back off.  Falls back to the XLA scan for state counts too
     large for a lane-resident metric vector (K = 15).
+
+    ``mxu_bm`` / ``mxu_pack`` / ``cond_renorm`` toggle bit-exact kernel
+    variants.  Measured on v5e (tools/bench_acs_variants.py): mxu_pack
+    +~40%, on by default; mxu_bm and cond_renorm lose (matmul round-trip
+    latency / scalar-gate pipeline serialisation) and stay off as
+    ablation arms (mxu_bm additionally requires symbols within
+    [low, high] - see module docstring).
     """
     if not _supports(spec):
         return jax_core.acs_scan(spec, metrics, symbols)
@@ -222,19 +390,23 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
         # Interpreter mode is the qemu-equivalent for running the Pallas
         # matrix on hosts without a TPU (SURVEY.md section 4).
         interpret = jax.default_backend() != "tpu"
+    if spec.H > MAX_MXU_HALF_STATES:
+        mxu_bm = False
+        mxu_pack = False
     B, T, R = symbols.shape
     assert R == spec.R
-    time_block = min(time_block, max(CHUNK, T))
-    time_block = -(-time_block // CHUNK) * CHUNK
     B_pad = -(-B // LANE_BATCH) * LANE_BATCH
+    time_block = _auto_time_block(spec, B_pad, time_block)
+    time_block = min(time_block, -(-max(CHUNK, T) // CHUNK) * CHUNK)
     T_pad = -(-T // time_block) * time_block
 
     sym = jnp.transpose(symbols.astype(jnp.int32), (1, 2, 0)).reshape(T * R, B)
     sym = jnp.pad(sym, ((0, (T_pad - T) * R), (0, B_pad - B)))
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
 
-    m_out, packed, acc = _acs_pallas_padded(spec, m, sym, time_block,
-                                            T, bool(interpret))
+    m_out, packed, acc = _acs_pallas_padded(
+        spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),
+        bool(mxu_pack), bool(cond_renorm))
 
     packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
     return m_out[:, :B], packed, acc[0, :B]

@@ -33,7 +33,16 @@ from .jax_core import StaticSpec
 __all__ = ["chainback_pallas"]
 
 CHUNK = 8          # rows per aligned load/store group
-TIME_BLOCK = 256   # rows per grid step
+TIME_BLOCK = 256   # default rows per grid step
+
+
+def _auto_time_block(W: int, B_pad: int) -> int:
+    """Largest CHUNK-multiple block whose double-buffered packed-row and
+    bit-row DMA blocks fit the VMEM budget (cf. acs_pallas)."""
+    budget = 12 * 1024 * 1024
+    per_row = 2 * (W + 1) * B_pad * 4
+    tb = budget // max(per_row, 1)
+    return max(CHUNK, min(TIME_BLOCK, (tb // CHUNK) * CHUNK))
 
 
 def _select_word(words, widx, W):
@@ -46,7 +55,8 @@ def _select_word(words, widx, W):
     return out
 
 
-def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int):
+def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
+                 time_block: int):
     W = spec.W
     Kb = spec.K - 1
 
@@ -57,11 +67,11 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int):
         def _init():
             state_scr[:] = end_ref[:]
 
-        row_base = (num_blocks - 1 - block) * TIME_BLOCK
+        row_base = (num_blocks - 1 - block) * time_block
 
         def group_body(g, _):
             # Groups walk top-down within the block.
-            goff = (TIME_BLOCK // CHUNK - 1) - g
+            goff = (time_block // CHUNK - 1) - g
             load_off = pl.multiple_of(goff * (CHUNK * W), CHUNK * W)
             slab = packed_ref[pl.ds(load_off, CHUNK * W), :]
             state = state_scr[:]
@@ -83,37 +93,37 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int):
                 out_rows, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, TIME_BLOCK // CHUNK, group_body, 0)
+        jax.lax.fori_loop(0, time_block // CHUNK, group_body, 0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
                       end_state: jnp.ndarray, total_rows: int,
-                      interpret: bool) -> jnp.ndarray:
-    """packed: (T_pad * W, B) int32 with T_pad % TIME_BLOCK == 0;
+                      interpret: bool, time_block: int) -> jnp.ndarray:
+    """packed: (T_pad * W, B) int32 with T_pad % time_block == 0;
     end_state: (1, B). Returns (T_pad, B) int32 decision-path bits."""
     W = spec.W
     TW, B = packed.shape
     T_pad = TW // W
-    num_blocks = T_pad // TIME_BLOCK
+    num_blocks = T_pad // time_block
 
-    kernel = _make_kernel(spec, total_rows, num_blocks)
+    kernel = _make_kernel(spec, total_rows, num_blocks, time_block)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (TIME_BLOCK * W, B),
+                (time_block * W, B),
                 lambda i: (num_blocks - 1 - i, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TIME_BLOCK, B),
+            (time_block, B),
             lambda i: (num_blocks - 1 - i, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
@@ -139,13 +149,15 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     B_pad = -(-B // 128) * 128
-    T_pad = -(-rows_needed // TIME_BLOCK) * TIME_BLOCK
+    time_block = _auto_time_block(W, B_pad)
+    T_pad = -(-rows_needed // time_block) * time_block
     p = packed[:rows_needed].astype(jnp.int32)
     p = jnp.pad(p, ((0, T_pad - rows_needed), (0, 0), (0, B_pad - B)))
     p = p.reshape(T_pad * W, B_pad)
     ends = jnp.pad(end_state.astype(jnp.int32)[None, :],
                    ((0, 0), (0, B_pad - B)))
 
-    bits = _chainback_padded(spec, p, ends, rows_needed, bool(interpret))
+    bits = _chainback_padded(spec, p, ends, rows_needed, bool(interpret),
+                             time_block)
     out = jnp.swapaxes(bits[Kb:rows_needed, :B], 0, 1)
     return out.astype(jnp.uint8)
