@@ -115,3 +115,32 @@ def test_cassini_k15_roundtrip_xla():
     bits, _, _ = dec.decode(syms, 2 * 8)
     out = np.packbits(np.asarray(bits), axis=-1, bitorder="big")
     np.testing.assert_array_equal(out, data)
+
+
+def test_decoder_state_checkpoint_resume(tmp_path):
+    """Save the carry mid-stream, restore in a 'new process', finish the
+    decode - the explicit checkpoint/resume capability (SURVEY.md
+    section 5)."""
+    from viterbidecodercpp_tpu.decoder import DecoderState
+
+    code = get_code("Voyager")
+    dec = ViterbiDecoder(code, DecodeType.SOFT16, backend="xla",
+                         traceback_length=16 * 8)
+    data, syms = make_batch(code, dec.config, 16, batch=2, noise=8)
+    half = (syms.shape[1] // (2 * code.R)) * code.R
+
+    state = dec.reset(2)
+    state = dec.update(state, syms[:, :half])
+    ckpt = str(tmp_path / "carry.npz")
+    state.save(ckpt)
+
+    resumed = DecoderState.load(ckpt)
+    assert resumed.batch == 2
+    resumed = dec.update(resumed, syms[:, half:])
+    out = dec.chainback_bytes(resumed, 16 * 8)
+    np.testing.assert_array_equal(out, data)
+
+    # and the uninterrupted decode agrees
+    whole = dec.reset(2)
+    whole = dec.update(whole, syms)
+    np.testing.assert_array_equal(dec.chainback_bytes(whole, 16 * 8), out)

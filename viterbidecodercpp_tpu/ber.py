@@ -63,9 +63,9 @@ def default_max_bits(code: CodeSpec, scale: float = 1.0) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+                   static_argnums=(0, 1, 4, 5, 6, 7, 8))
 def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
-                  EbNo_dB: float, block_bits: int, batch: int,
+                  EbNo_dB, block_bits: int, batch: int,
                   max_bits: int, max_errors: int, use_pallas: bool):
     config_rate = code.R
     total_rows = block_bits + code.K - 1
@@ -119,7 +119,7 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
         use_pallas = (jax.default_backend() == "tpu"
                       and spec.S <= 4096)
     bits_done, errors = _point_device(
-        spec, code, key, float(EbNo_dB), int(block_bits), int(batch),
+        spec, code, key, jnp.float32(EbNo_dB), int(block_bits), int(batch),
         int(max_bits), int(max_errors), bool(use_pallas))
     bits_done = int(bits_done)
     errors = int(errors)

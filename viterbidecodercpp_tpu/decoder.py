@@ -51,6 +51,31 @@ class DecoderState:
     def batch(self) -> int:
         return self.metrics.shape[1]
 
+    def save(self, path: str) -> None:
+        """Checkpoint the carry to an .npz file.
+
+        The reference's decoder is an implicitly resumable state machine
+        (SURVEY.md section 5 "checkpoint/resume"); here the carry is
+        explicit data, so a stream can be decoded in chunks across
+        process restarts or shipped to another host mid-stream.
+        """
+        np.savez(path,
+                 metrics=np.asarray(self.metrics),
+                 decisions=np.asarray(self.decisions),
+                 accumulated_error=np.asarray(self.accumulated_error),
+                 bit_cursor=np.asarray(self.bit_cursor))
+
+    @classmethod
+    def load(cls, path: str) -> "DecoderState":
+        """Restore a carry written by :meth:`save`."""
+        with np.load(path) as z:
+            return cls(
+                metrics=jnp.asarray(z["metrics"]),
+                decisions=jnp.asarray(z["decisions"]),
+                accumulated_error=jnp.asarray(z["accumulated_error"]),
+                bit_cursor=jnp.asarray(z["bit_cursor"]),
+            )
+
 
 class ViterbiDecoder:
     """Batched Viterbi decoder for one (code, config) pair.

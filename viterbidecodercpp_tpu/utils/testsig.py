@@ -36,12 +36,13 @@ __all__ = [
 ]
 
 
-def awgn_sigma(EbNo_dB: float, code_rate: int) -> float:
+def awgn_sigma(EbNo_dB, code_rate: int):
     """Noise sigma for a real +/-1 signal at the given Eb/No
-    (run_snr_ber.cpp:319-322)."""
+    (run_snr_ber.cpp:319-322).  ``EbNo_dB`` may be a Python float or a
+    traced scalar (so BER sweeps compile once per code, not per point)."""
     EsNo_dB = EbNo_dB - 10.0 * math.log10(float(code_rate))
     variance = 10.0 ** (-(EsNo_dB + 3.0) / 10.0)
-    return math.sqrt(variance)
+    return variance ** 0.5
 
 
 def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
@@ -58,17 +59,17 @@ def modulate_encode(code: CodeSpec, bits: jnp.ndarray,
     return jnp.where(y == 1, jnp.float32(1.0), jnp.float32(-1.0))
 
 
-def awgn_quantize(float_syms: jnp.ndarray, key, EbNo_dB: float,
+def awgn_quantize(float_syms: jnp.ndarray, key, EbNo_dB,
                   code_rate: int, config: DecoderConfig) -> jnp.ndarray:
     """Add AWGN and quantise to the config's soft-decision integer range
-    (run_snr_ber.cpp:348-359)."""
-    sigma = awgn_sigma(EbNo_dB, code_rate)
+    (run_snr_ber.cpp:348-359).  ``EbNo_dB`` may be traced."""
+    sigma = jnp.asarray(awgn_sigma(EbNo_dB, code_rate), jnp.float32)
     noisy = float_syms + sigma * jax.random.normal(
         key, float_syms.shape, jnp.float32)
     mean = (config.soft_decision_high + config.soft_decision_low) / 2.0
     mag = (config.soft_decision_high - config.soft_decision_low) / 2.0
-    norm = 1.0 / math.sqrt(1.0 + sigma * sigma)
-    q = round_half_away(noisy * jnp.float32(mag * norm) + jnp.float32(mean))
+    norm = 1.0 / jnp.sqrt(1.0 + sigma * sigma)
+    q = round_half_away(noisy * (jnp.float32(mag) * norm) + jnp.float32(mean))
     q = jnp.clip(q, config.soft_decision_low, config.soft_decision_high)
     return q.astype(jnp.int32)
 
