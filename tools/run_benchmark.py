@@ -49,10 +49,10 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     m0 = jax_core.initial_metrics(spec, batch)
     ends = jnp.zeros(batch, jnp.int32)
     use_pallas = backend == "PALLAS"
-    REPS = 8
+    REPS = 17
 
     @jax.jit
-    def update_n(m, s):
+    def update_n(m, s, reps):
         def body(i, carry):
             m, sink = carry
             if use_pallas:
@@ -60,7 +60,7 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
             else:
                 m, packed, acc = jax_core.acs_scan(spec, m, s)
             return m, sink + packed[0, 0, 0] + acc[0]
-        return jax.lax.fori_loop(0, REPS, body, (m, jnp.zeros((), jnp.int32)))
+        return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 
     if use_pallas:
         _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
@@ -69,7 +69,7 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     packed = jax.block_until_ready(packed)
 
     @jax.jit
-    def chainback_n(p):
+    def chainback_n(p, reps):
         def body(i, sink):
             if use_pallas:
                 bits = chainback_pallas.chainback_pallas(spec, p, ends,
@@ -77,21 +77,31 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
             else:
                 bits = jax_core.chainback_scan(spec, p, ends, total_bits)
             return sink + bits.astype(jnp.int32).sum() + i
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.int32))
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
     # warm up compiles
-    jax.block_until_ready(update_n(m0, syms))
-    jax.block_until_ready(chainback_n(packed))
+    jax.block_until_ready(update_n(m0, syms, 1))
+    jax.block_until_ready(update_n(m0, syms, REPS))
+    jax.block_until_ready(chainback_n(packed, 1))
+    jax.block_until_ready(chainback_n(packed, REPS))
 
+    def timed(fn, *a):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*a))
+        return time.perf_counter() - t0
+
+    # Dispatch over the tunnel costs ~10ms and block_until_ready is not
+    # an honest device sync, so each sample is the *marginal* per
+    # in-loop iteration: (t(REPS) - t(1)) / (REPS - 1).
     update_ns, chainback_ns = [], []
     deadline = time.perf_counter() + seconds
     while time.perf_counter() < deadline:
-        t0 = time.perf_counter()
-        jax.block_until_ready(update_n(m0, syms))
-        update_ns.append(int((time.perf_counter() - t0) / REPS * 1e9))
-        t0 = time.perf_counter()
-        jax.block_until_ready(chainback_n(packed))
-        chainback_ns.append(int((time.perf_counter() - t0) / REPS * 1e9))
+        u1 = timed(update_n, m0, syms, 1)
+        uN = timed(update_n, m0, syms, REPS)
+        update_ns.append(max(int((uN - u1) / (REPS - 1) * 1e9), 1))
+        c1 = timed(chainback_n, packed, 1)
+        cN = timed(chainback_n, packed, REPS)
+        chainback_ns.append(max(int((cN - c1) / (REPS - 1) * 1e9), 1))
 
     return {
         "name": code.name,

@@ -20,22 +20,25 @@ Layout (TPU-first):
     stream out through pipelined block DMA, while the metric vector stays
     resident in VMEM across the whole call (constant-index output block).
 
-MXU offload (both bit-exact; enabled when applicable):
-  * Branch metrics: all three decode regimes use a symmetric soft range
-    [-A, A], so |bt - sym| == A - sign(bt)*sym for in-range symbols and
-    the per-step branch-metric sum collapses to one block-diagonal
-    bf16 matmul per chunk, d = Sigma @ sym, with bm = R*A - d and
-    ibm = R*A + d (offset-binary symmetry, viterbi_decoder_scalar.h:97).
-    Products <= 127 and sums <= 762 are exact in bf16 x bf16 -> f32.
-  * Decision packing: TPU has no movemask; the 32-states-per-int32 words
-    (ViterbiDecisionBits layout, viterbi_decoder_core.h:49-83) are built
-    as two exact 16-bit halves via one (2*CHUNK*W, CHUNK*H) f32 matmul
-    per chunk over c = dec0 + 2*dec1 (half-word sums <= 65535 < 2^24).
+MXU offload (both bit-exact; measured on v5e with
+tools/bench_acs_variants.py, interleaved min-of-trials):
+  * Decision packing (default ON): TPU has no movemask; the
+    32-states-per-int32 words (ViterbiDecisionBits layout,
+    viterbi_decoder_core.h:49-83) are built as two exact 16-bit halves
+    via one (2*CHUNK*W, CHUNK*H) f32 matmul per chunk over
+    c = dec0 + 2*dec1 (half-word sums <= 65535 < 2^24, exact).
+  * Branch metrics (default OFF - measured neutral-to-slower at R=2):
+    all three decode regimes use a symmetric soft range [-A, A], so
+    |bt - sym| == A - sign(bt)*sym for in-range symbols and the per-step
+    branch-metric sum collapses to one block-diagonal bf16 matmul per
+    chunk, d = Sigma @ sym, with bm = R*A - d and ibm = R*A + d
+    (offset-binary symmetry, viterbi_decoder_scalar.h:97).
 
-Renormalisation is *conditional*: the per-step state-0 threshold gate
-(viterbi_decoder_scalar.h:48) is reduced to a scalar with jnp.any and the
-min-reduce/subtract runs under pl.when only on steps where some lane
-gates - semantically identical, since sub == 0 for non-gating lanes.
+Conditional renormalisation (default OFF - the scalar jnp.any gate
+serialises the VPU pipeline): the per-step state-0 threshold gate
+(viterbi_decoder_scalar.h:48) reduced to a scalar, with the
+min-reduce/subtract under pl.when only on steps where some lane gates -
+semantically identical, since sub == 0 for non-gating lanes.
 
 Semantics are bit-identical to ops/numpy_ref.acs_run (saturating or
 wrapping mode).  Contract: symbols lie in [low, high] (the reference

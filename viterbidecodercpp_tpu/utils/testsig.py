@@ -33,6 +33,9 @@ __all__ = [
     "awgn_quantize",
     "round_half_away",
     "count_bit_errors",
+    "add_noise",
+    "add_binary_noise",
+    "clamp_vector",
 ]
 
 
@@ -72,6 +75,29 @@ def awgn_quantize(float_syms: jnp.ndarray, key, EbNo_dB,
     q = round_half_away(noisy * (jnp.float32(mag) * norm) + jnp.float32(mean))
     q = jnp.clip(q, config.soft_decision_low, config.soft_decision_high)
     return q.astype(jnp.int32)
+
+
+def add_noise(symbols: jnp.ndarray, key, intensity: int) -> jnp.ndarray:
+    """Uniform integer noise in [-intensity, +intensity]
+    (test_helpers.h:66-74)."""
+    noise = jax.random.randint(key, symbols.shape, -intensity,
+                               intensity + 1, dtype=jnp.int32)
+    return symbols.astype(jnp.int32) + noise
+
+
+def add_binary_noise(symbols: jnp.ndarray, key, flip_probability: float,
+                     low: int, high: int) -> jnp.ndarray:
+    """Flip symbols to the opposite rail with the given probability - the
+    hard-decision channel (test_helpers.h:76-85)."""
+    flip = jax.random.bernoulli(key, flip_probability, symbols.shape)
+    mid = (low + high) / 2.0
+    flipped = jnp.where(symbols > mid, low, high).astype(jnp.int32)
+    return jnp.where(flip, flipped, symbols.astype(jnp.int32))
+
+
+def clamp_vector(symbols: jnp.ndarray, low: int, high: int) -> jnp.ndarray:
+    """Clamp to the soft-decision range (test_helpers.h:88-93)."""
+    return jnp.clip(symbols, low, high).astype(jnp.int32)
 
 
 def count_bit_errors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
