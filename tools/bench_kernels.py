@@ -89,10 +89,15 @@ def main():
     def make_cb(reps):
         @jax.jit
         def run():
-            def body(i, sink):
-                bits = cb(packed, ends + (sink & 0))
-                return sink + bits.astype(jnp.int32).sum()
-            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+            # end-state fed from the previous output so XLA cannot hoist
+            # the loop-invariant chainback out of the timing loop
+            def body(i, carry):
+                e, sink = carry
+                bits = cb(packed, e)
+                e = jnp.minimum(bits[:, 0].astype(jnp.int32), spec.S - 1)
+                return e, sink + bits.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, reps, body,
+                                     (ends, jnp.zeros((), jnp.int32)))
         return run
 
     dt = marginal_time(make_cb)

@@ -18,7 +18,11 @@ def pvary(x, axis_name):
     feeding them into a lax.scan carry whose other inputs are
     device-varying trips JAX's vma check.  No-op on JAX versions without
     the distinction."""
-    f = getattr(jax.lax, "pvary", None)
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        f = lambda a, ax: pcast(a, ax, to="varying")
+    else:
+        f = getattr(jax.lax, "pvary", None)
     if f is None:
         return x
 
