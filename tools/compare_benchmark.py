@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Compare this framework's benchmark JSON against the reference
+library's rates measured on the same host (BASELINE_LOCAL.json).
+
+Usage: python tools/compare_benchmark.py bench.json [BASELINE_LOCAL.json]
+"""
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    ours_path = sys.argv[1]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_LOCAL.json"
+    with open(ours_path) as f:
+        ours = json.load(f)
+    with open(base_path) as f:
+        base = json.load(f)["records"]
+
+    def best_ref(name, decode):
+        recs = [r for r in base if r["name"].startswith(name.split()[0])
+                and r["name"] == name and r["decode_type"] == decode]
+        if not recs:
+            return None
+        return (max(r["update_symbols_per_s"] for r in recs),
+                max(r["chainback_bits_per_s"] for r in recs))
+
+    hdr = (f"{'code':16s} {'decode':7s} {'kernel':7s} |"
+           f" {'update sym/s':>13s} {'vs ref':>7s} |"
+           f" {'chainback b/s':>13s} {'vs ref':>7s}")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in ours:
+        upd = float(np.median(r["total_symbols"] /
+                              np.asarray(r["update_symbols_ns"], float) * 1e9))
+        cb = float(np.median(r["total_input_bits"] /
+                             np.asarray(r["chainback_bits_ns"], float) * 1e9))
+        ref = best_ref(r["name"], r["decode_type"])
+        ru = f"{upd / ref[0]:6.1f}x" if ref else "    n/a"
+        rc = f"{cb / ref[1]:6.1f}x" if ref else "    n/a"
+        print(f"{r['name']:16s} {r['decode_type']:7s} {r['simd_type']:7s} |"
+              f" {upd:13.3e} {ru} | {cb:13.3e} {rc}")
+
+
+if __name__ == "__main__":
+    main()

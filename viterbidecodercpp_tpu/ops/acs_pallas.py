@@ -243,7 +243,11 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.int32)
             gbase = block * time_block + c * CHUNK
-            decs = []
+            # mxu_pack (H <= 64 only) accumulates the small (CHUNK*H, B)
+            # c = dec0 + 2*dec1 tensor for one pack matmul per chunk; the
+            # elementwise path packs per step so raw decisions never
+            # accumulate (for H = 128+ they would dominate VMEM).
+            rows = []
             for t in range(CHUNK):
                 metrics = metrics_ref[:]
                 if mxu_bm:
@@ -252,11 +256,14 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                     arg = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
                 nm, dec0, dec1 = acs_core(metrics, arg)
                 commit(nm, gbase + t < total_steps)
-                decs.append((dec0, dec1))
+                if mxu_pack:
+                    rows.append(dec0.astype(jnp.float32) +
+                                2.0 * dec1.astype(jnp.float32))
+                else:
+                    rows.append(_pack_words(spec, dec0.astype(jnp.int32),
+                                            dec1.astype(jnp.int32)))
             if mxu_pack:
-                c_all = jnp.concatenate(
-                    [d0.astype(jnp.float32) + 2.0 * d1.astype(jnp.float32)
-                     for d0, d1 in decs], axis=0)            # (CHUNK*H, B)
+                c_all = jnp.concatenate(rows, axis=0)        # (CHUNK*H, B)
                 halves = jax.lax.dot_general(
                     packmat_ref[:].astype(jnp.bfloat16),
                     c_all.astype(jnp.bfloat16),
@@ -264,10 +271,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                     preferred_element_type=jnp.float32).astype(jnp.int32)
                 slab = halves[0:CW, :] + (halves[CW:2 * CW, :] << 16)
             else:
-                slab = jnp.concatenate(
-                    [_pack_words(spec, d0.astype(jnp.int32),
-                                 d1.astype(jnp.int32)) for d0, d1 in decs],
-                    axis=0)
+                slab = jnp.concatenate(rows, axis=0)
             pack_off = pl.multiple_of(c * CW, CW)
             packed_ref[pl.ds(pack_off, CW), :] = slab
             return 0
@@ -356,8 +360,10 @@ def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
     """Largest CHUNK-multiple block whose double-buffered symbol +
     decision DMA blocks and the resident metric/branch tensors fit the
     VMEM budget (16 MiB/core on v5e; leave headroom for scratch)."""
-    budget = 12 * 1024 * 1024
-    resident = spec.S * B_pad * 4 + 4096
+    budget = 10 * 1024 * 1024
+    # metric blocks appear ~4x (input, output, init, working copy) plus
+    # per-chunk temporaries of a few (H, B) tensors.
+    resident = 4 * spec.S * B_pad * 4 + 8 * spec.H * B_pad * 4 + 4096
     per_step = 2 * (spec.R + spec.W) * B_pad * 4    # both DMA buffers
     tb = (budget - resident) // max(per_step, 1)
     tb = max(CHUNK, (tb // CHUNK) * CHUNK)
