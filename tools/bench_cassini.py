@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""K=15 Cassini XLA-path experiments: batch sweep + 2-step fusion.
+
+If throughput is flat in B, the scan is HBM-bound on the 2^14-state
+metric tensor and multi-step fusion (fewer metric round-trips) wins.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import jax_core
+
+code = get_code("Cassini")
+config = get_decode_config(DecodeType.SOFT16, code.R)
+spec = jax_core.make_static_spec(code, config)
+T = 256
+
+
+def timed(f, *a):
+    # device_get of the scalar sink forces true completion; plain
+    # block_until_ready over the tunnel can return while the program is
+    # still running (single isolated dispatches then time the *previous*
+    # call's leftovers).
+    t0 = time.perf_counter()
+    out = f(*a)
+    jax.device_get(out[1])
+    return time.perf_counter() - t0
+
+
+def marginal(f, m0, syms):
+    timed(f, m0, syms, 1)
+    n = 9
+    while n < (1 << 20):
+        t1 = timed(f, m0, syms, 1)
+        tN = timed(f, m0, syms, n)
+        if tN - t1 > 0.2:
+            break
+        n *= 8
+    best = float("inf")
+    for _ in range(3):
+        t1 = timed(f, m0, syms, 1)
+        tN = timed(f, m0, syms, n)
+        best = min(best, (tN - t1) / (n - 1))
+    return best
+
+
+def make_scan(nstep):
+    @jax.jit
+    def run(m, syms, reps):
+        def body(i, carry):
+            m, sink = carry
+            if nstep == 1:
+                m2, packed, acc = jax_core.acs_scan(spec, m, syms)
+            else:
+                m2, packed, acc = jax_core.acs_scan_multi(spec, m, syms,
+                                                          nstep)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m, jnp.zeros((), jnp.int32)))
+    return run
+
+rng = np.random.RandomState(0)
+for B in (128, 512, 1024):
+    syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    f = make_scan(1)
+    dt = marginal(f, m0, syms)
+    print(f"B={B:5d} 1-step: {dt*1e3:8.2f} ms  "
+          f"{B*T*code.R/dt/1e6:8.2f} Msym/s")
+    if hasattr(jax_core, "acs_scan_multi"):
+        f2 = make_scan(2)
+        dt = marginal(f2, m0, syms)
+        print(f"B={B:5d} 2-step: {dt*1e3:8.2f} ms  "
+              f"{B*T*code.R/dt/1e6:8.2f} Msym/s")

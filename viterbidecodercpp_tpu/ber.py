@@ -116,8 +116,9 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
     spec = jax_core.make_static_spec(code, config)
     _CONFIG_HOLDER[spec] = config
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and spec.S <= 4096)
+        # acs_pallas/chainback_pallas fall back to the (2-step-fused) XLA
+        # scan internally for state counts beyond the Pallas bound.
+        use_pallas = jax.default_backend() == "tpu"
     bits_done, errors = _point_device(
         spec, code, key, jnp.float32(EbNo_dB), int(block_bits), int(batch),
         int(max_bits), int(max_errors), bool(use_pallas))

@@ -394,6 +394,11 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     [low, high] - see module docstring).
     """
     if not _supports(spec):
+        # XLA fallback for huge state counts is HBM-bound on the metric
+        # tensor; two fused steps per scan iteration measure ~20% faster
+        # (tools/bench_cassini.py).
+        if symbols.shape[1] % 2 == 0:
+            return jax_core.acs_scan_multi(spec, metrics, symbols, 2)
         return jax_core.acs_scan(spec, metrics, symbols)
     if interpret is None:
         # Interpreter mode is the qemu-equivalent for running the Pallas

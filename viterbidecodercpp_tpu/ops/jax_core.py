@@ -227,6 +227,40 @@ def acs_scan(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
+def acs_scan_multi(spec: StaticSpec, metrics: jnp.ndarray,
+                   symbols: jnp.ndarray, unroll: int = 2
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`acs_scan` with ``unroll`` trellis steps per scan iteration.
+
+    Bit-identical; exists because for very large state counts (K=15:
+    2^14-state metric tensors in HBM) the scan is bandwidth-bound on the
+    metric round-trip, and unrolling lets XLA fuse consecutive steps so
+    intermediate metrics never hit HBM.  ``T`` must be divisible by
+    ``unroll`` (callers pad or fall back to :func:`acs_scan`).
+    """
+    B, T, R = symbols.shape
+    if T % unroll:
+        raise ValueError(f"T={T} not divisible by unroll={unroll}")
+    sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)  # (T, R, B)
+    sym_g = sym_t.reshape(T // unroll, unroll, R, B)
+
+    def step(carry, sym_group):
+        m, acc = carry
+        words = []
+        for u in range(unroll):
+            m, dec0, dec1 = _butterfly_step(spec, m, sym_group[u])
+            m, sub = _renormalise(spec, m)
+            acc = acc + sub
+            words.append(pack_decisions(spec, dec0, dec1))
+        return (m, acc), jnp.stack(words)
+
+    acc0 = metrics[0, :].astype(jnp.int32) * 0
+    (metrics, acc), packed = jax.lax.scan(
+        step, (metrics.astype(jnp.int32), acc0), sym_g)
+    return metrics, packed.reshape(T, spec.W, B), acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def chainback_scan(spec: StaticSpec, packed: jnp.ndarray,
                    end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
     """Batched traceback over packed decisions (XLA scan path).
