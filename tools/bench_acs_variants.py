@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """A/B the ACS fast paths on the real TPU.
 
-Protocol (the tunnel adds ~10 ms RPC latency per dispatch AND the device
-shows run-to-run variance): reps is a *traced* fori_loop bound so each
-variant compiles once; marginal time = (t(N) - t(1)) / (N - 1) with
-N = 65, repeated `trials` times interleaved across variants; report the
-min (least-interference) marginal.
+Protocol: reps is a *traced* fori_loop bound so each variant compiles
+once; timing syncs with device_get of the scalar sink (the tunnel's
+block_until_ready can return early); each sample is the marginal
+(t(N2) - t(N1)) / (N2 - N1) between two sizable rep counts; variants are
+interleaved across trials and the median marginal is reported (~+-1%
+reproducibility - see bench.py).
 """
 import sys
 sys.path.insert(0, ".")
@@ -40,16 +41,12 @@ def make(acs):
     return run
 
 
-def t(f, reps):
-    out = f(reps)
-    jax.block_until_ready(out)
-    return None
+N1, N2 = 8, 64
 
 
 def timed(f, reps):
     t0 = time.perf_counter()
-    out = f(reps)
-    jax.block_until_ready(out)
+    jax.device_get(f(reps)[1])
     return time.perf_counter() - t0
 
 
@@ -77,19 +74,21 @@ for name, kw in variants:
     acs = lambda m, s=syms, kw=kw: acs_pallas.acs_pallas(
         spec, m, s, interpret=False, **kw)
     f = make(acs)
-    timed(f, 1)  # compile + warm
-    timed(f, N)
+    timed(f, N1)  # compile + warm
+    timed(f, N2)
     fns.append((name, f))
 
-trials = 8
-best = {name: float("inf") for name, _ in fns}
+trials = 5
+samples = {name: [] for name, _ in fns}
 for trial in range(trials):
     for name, f in fns:
-        t1 = timed(f, 1)
-        tN = timed(f, N)
-        marg = (tN - t1) / (N - 1)
-        best[name] = min(best[name], marg)
+        tA = timed(f, N1)
+        tB = timed(f, N2)
+        samples[name].append((tB - tA) / (N2 - N1))
 
 for name, _ in fns:
-    dt = best[name]
-    print(f"{name:22s}: {dt*1e3:8.3f} ms  {B*T*code.R/dt/1e9:7.2f} Gsym/s")
+    s = sorted(samples[name])
+    dt = s[len(s) // 2]
+    spread = (s[-1] - s[0]) / dt * 100
+    print(f"{name:22s}: {dt*1e3:8.3f} ms  {B*T*code.R/dt/1e9:7.2f} Gsym/s"
+          f"  (spread {spread:4.1f}%)")
