@@ -144,3 +144,45 @@ def test_decoder_state_checkpoint_resume(tmp_path):
     whole = dec.reset(2)
     whole = dec.update(whole, syms)
     np.testing.assert_array_equal(dec.chainback_bytes(whole, 16 * 8), out)
+
+
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_acs_scan_multi_bit_exact(unroll):
+    """The fused multi-step scan (HBM-traffic optimisation for K=15-class
+    codes) must match acs_scan bit-for-bit, renorm timing included."""
+    import jax.numpy as jnp
+
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    rng = np.random.RandomState(11)
+    T = 48
+    syms = jnp.asarray(rng.randint(-3, 4, (3, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, 3)
+    a = jax_core.acs_scan(spec, m0, syms)
+    b = jax_core.acs_scan_multi(spec, m0, syms, unroll)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    with pytest.raises(ValueError):
+        jax_core.acs_scan_multi(spec, m0, syms[:, :T - 1], unroll)
+
+
+def test_cassini_chainback_pallas_falls_back():
+    """K=15 (W=512) exceeds the Pallas chainback bound; the wrapper must
+    route to the XLA scan and still decode exactly."""
+    import jax.numpy as jnp
+
+    from viterbidecodercpp_tpu.ops import chainback_pallas
+
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert spec.W > 128
+    data, syms = make_batch(code, config, 2, batch=1)
+    syms = jnp.asarray(syms.reshape(1, -1, code.R))
+    m0 = jax_core.initial_metrics(spec, 1)
+    _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+    bits = chainback_pallas.chainback_pallas(
+        spec, packed, jnp.zeros(1, jnp.int32), 16)
+    np.testing.assert_array_equal(
+        np.packbits(np.asarray(bits), axis=-1, bitorder="big"), data)

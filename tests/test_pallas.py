@@ -127,3 +127,24 @@ def test_acs_k9_above_mxu_bound_still_exact():
     np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
     np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+@pytest.mark.parametrize("name,dt", [
+    ("DAB Radio", DecodeType.SOFT16),   # R=4, widest branch-metric sum
+    ("LTE", DecodeType.SOFT8),          # R=3 (odd rate)
+    ("Basic K=5 R=1/2", DecodeType.HARD8),
+])
+def test_acs_fast_paths_more_codes(name, dt):
+    """MXU fast paths across rates/regimes beyond the Voyager case."""
+    code = get_code(name)
+    config = get_decode_config(dt, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=12, batch=2, noise=1,
+                              seed=3)
+    m0 = jax_core.initial_metrics(spec, 2)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                                       mxu_bm=True, mxu_pack=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
