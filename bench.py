@@ -10,8 +10,10 @@ run_benchmark times as update + chainback (run_benchmark.cpp:267-281).
 Timing methodology (the axon tunnel's block_until_ready does not
 synchronise device completion, and each dispatch carries ~10 ms of RPC
 latency): run N carry-chained pipeline iterations *inside one jit* - the
-metric carry makes overlap impossible - for N=1 and N=16, and report the
-marginal (t16 - t1)/15, which cancels dispatch overhead exactly.
+metric carry makes overlap impossible - synchronised by device_get of
+the scalar sink, and report the median over trials of the marginal
+(t_N2 - t_N1)/(N2 - N1) with N1=8, N2=64, which cancels dispatch
+overhead exactly (see PERF.md).
 
 vs_baseline divides by the best reference 8-bit kernel (SSE/AVX2 u8)
 measured on this host with the reference's own run_benchmark

@@ -148,3 +148,21 @@ def test_acs_fast_paths_more_codes(name, dt):
     np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
     np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+def test_mxu_bm_gate_rejects_custom_max_error():
+    """mxu_bm requires max_error == (high-low)*R; a custom
+    soft_decision_max_error must disable the matmul path (not corrupt
+    the decode)."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R).replace(
+        soft_decision_max_error=10)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=6, batch=1, noise=2)
+    m0 = jax_core.initial_metrics(spec, 1)
+    em, ep, ea = jax_core.acs_scan(spec, m0, syms)
+    pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                                       mxu_bm=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))

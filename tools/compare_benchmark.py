@@ -19,8 +19,8 @@ def main():
         base = json.load(f)["records"]
 
     def best_ref(name, decode):
-        recs = [r for r in base if r["name"].startswith(name.split()[0])
-                and r["name"] == name and r["decode_type"] == decode]
+        recs = [r for r in base
+                if r["name"] == name and r["decode_type"] == decode]
         if not recs:
             return None
         return (max(r["update_symbols_per_s"] for r in recs),

@@ -90,8 +90,12 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     jax.block_until_ready(chainback_n(packed, 1))
 
     def timed(fn, *a):
+        # device_get of a scalar forces true completion; the tunnel's
+        # block_until_ready can return before the program finishes
+        # (PERF.md "measurement methodology").
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
+        out = fn(*a)
+        jax.device_get(jax.tree_util.tree_leaves(out)[-1])
         return time.perf_counter() - t0
 
     def calibrate(fn, *a):
@@ -106,9 +110,8 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
             reps *= 8
         return reps
 
-    # Dispatch over the tunnel costs ~10ms and block_until_ready is not
-    # an honest device sync, so each sample is the *marginal* per
-    # in-loop iteration: (t(reps) - t(1)) / (reps - 1).
+    # Each sample is the *marginal* per in-loop iteration between two
+    # rep counts: (t(reps) - t(1)) / (reps - 1); dispatch+RTT cancels.
     u_reps = calibrate(update_n, m0, syms)
     c_reps = calibrate(chainback_n, packed)
     update_ns, chainback_ns = [], []

@@ -63,7 +63,7 @@ from .jax_core import StaticSpec
 __all__ = ["acs_pallas", "LANE_BATCH", "DEFAULT_TIME_BLOCK"]
 
 LANE_BATCH = 128          # frames per lane group
-DEFAULT_TIME_BLOCK = 128  # trellis steps per grid step
+DEFAULT_TIME_BLOCK = 256  # auto time_block cap (trellis steps/grid step)
 
 # Above this state count the (S, B) working set stops fitting comfortably
 # in VMEM with B = 128 lanes; fall back to the XLA scan (K = 15 Cassini).
@@ -298,7 +298,11 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
     T_pad = TR // R
     num_blocks = T_pad // time_block
     amp = _symmetric_amplitude(spec) if mxu_bm else None
-    mxu_bm = mxu_bm and amp is not None
+    # The matmul identity bm = R*amp - d additionally needs the config's
+    # max_error to equal the table-derived (high - low) * R; a custom
+    # soft_decision_max_error breaks it (ibm = max_error - bm).
+    mxu_bm = (mxu_bm and amp is not None
+              and spec.max_error == 2 * spec.R * amp)
 
     kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
                           cond_renorm, amp)
@@ -357,17 +361,23 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
 
 def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
                      ) -> int:
-    """Largest CHUNK-multiple block whose double-buffered symbol +
-    decision DMA blocks and the resident metric/branch tensors fit the
-    VMEM budget (16 MiB/core on v5e; leave headroom for scratch)."""
+    """Block size in trellis steps per grid step.
+
+    An explicit ``requested`` value is honoured exactly (rounded to the
+    CHUNK multiple; the caller owns VMEM fit).  When None, pick the
+    largest CHUNK-multiple block (capped at DEFAULT_TIME_BLOCK) whose
+    double-buffered symbol + decision DMA blocks and the resident
+    metric/branch tensors fit the VMEM budget (16 MiB/core on v5e,
+    with headroom for scratch)."""
+    if requested is not None:
+        return max(CHUNK, (requested // CHUNK) * CHUNK)
     budget = 10 * 1024 * 1024
     # metric blocks appear ~4x (input, output, init, working copy) plus
     # per-chunk temporaries of a few (H, B) tensors.
     resident = 4 * spec.S * B_pad * 4 + 8 * spec.H * B_pad * 4 + 4096
     per_step = 2 * (spec.R + spec.W) * B_pad * 4    # both DMA buffers
     tb = (budget - resident) // max(per_step, 1)
-    tb = max(CHUNK, (tb // CHUNK) * CHUNK)
-    tb = min(tb, 256 if requested is None else requested)
+    tb = min(tb, DEFAULT_TIME_BLOCK)
     return max(CHUNK, (tb // CHUNK) * CHUNK)
 
 

@@ -118,7 +118,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib.vdt_abi_version() != 1:
             _lib = None
             _load_failed = True
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale library missing newer exports - treat
+        # exactly like "not available" so callers fall back to NumPy.
+        _lib = None
         _load_failed = True
     return _lib
 
@@ -260,8 +263,9 @@ def depuncture(kept: np.ndarray, mask: np.ndarray,
     lib = _load()
     if lib is None:
         out = np.full(mask.size, neutral, np.int16)
-        out[mask.astype(bool)] = kept[:int(mask.astype(bool).sum())]
-        return out
+        keep = np.flatnonzero(mask)[:kept.size]
+        out[keep] = kept[:keep.size]  # short input pads with neutral,
+        return out                    # matching vdt_depuncture_i16
     out = np.empty(mask.size, np.int16)
     lib.vdt_depuncture_i16(_ptr(kept, ctypes.c_int16), kept.size,
                            mask.size, _ptr(mask, ctypes.c_uint8),
