@@ -71,3 +71,28 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_block_sp_cassini_long_stream():
+    """BASELINE config 5: K=15 Cassini, a long stream tiled over the
+    'time' mesh axis with block traceback (the multi-host long-stream
+    pattern), exact vs the sequential oracle on a clean channel."""
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    ntime = 2
+    mesh = make_mesh((ntime,), ("time",))
+    rng = np.random.RandomState(7)
+    nbytes = 24
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = ref.encode_bytes(code, data, 127, -127).astype(np.int64)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = syms.reshape(T, code.R)
+
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=64, total_rows=T)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)
