@@ -136,3 +136,18 @@ def test_random_bytes_deterministic():
     z = native.random_bytes(43, 100)
     np.testing.assert_array_equal(x, y)
     assert (x != z).any()
+
+
+def test_measure_point_host_chain_noiseless_limit():
+    """The native host-chain BER path must report zero errors at very
+    high Eb/No (exact decode through the C++ channel chain)."""
+    import viterbidecodercpp_tpu as vt
+    from viterbidecodercpp_tpu import ber
+
+    code = vt.get_code("Voyager")
+    config = vt.get_decode_config(vt.DecodeType.SOFT16, code.R)
+    p = ber.measure_point_host_chain(code, config, 40.0, seed=1,
+                                     block_bits=256, batch=4,
+                                     max_bits=2048)
+    assert p.total_bit_errors == 0
+    assert p.total_bits >= 2048

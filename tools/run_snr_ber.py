@@ -38,6 +38,10 @@ def main():
     ap.add_argument("-c", type=int, default=None, help="code index filter")
     ap.add_argument("-d", default=None, choices=["soft16", "soft8", "hard8"])
     ap.add_argument("-o", default=None, help="output file (default stdout)")
+    ap.add_argument("--host-chain", action="store_true",
+                    help="generate the channel on the native C++ runtime "
+                         "(mt19937, reference-identical maths) instead of "
+                         "on device")
     args = ap.parse_args()
 
     rows = []
@@ -51,7 +55,8 @@ def main():
             res = ber.sweep(code, config, seed=args.S,
                             max_points=args.D,
                             block_bits=args.L * 8, batch=args.B,
-                            max_errors=args.n, bits_scale=args.k)
+                            max_errors=args.n, bits_scale=args.k,
+                            host_chain=args.host_chain)
             for i, p in enumerate(res.points):
                 print(f"name='{code.name}',K={code.K},R={code.R},"
                       f"decode={dt.value},iter={i},EbNo_dB={p.EbNo_dB:.1f},"
@@ -59,7 +64,8 @@ def main():
             rows.append({
                 "name": code.name,
                 "decode_type": dt.value,
-                "simd_type": "PALLAS",
+                "simd_type": ("PALLAS+HOSTCHAIN" if args.host_chain
+                              else "PALLAS"),
                 "K": code.K,
                 "R": code.R,
                 "G": list(code.G),

@@ -31,7 +31,8 @@ from .config import DecoderConfig
 from .ops import jax_core
 from .utils import testsig
 
-__all__ = ["BerPoint", "SweepResult", "measure_point", "sweep"]
+__all__ = ["BerPoint", "SweepResult", "measure_point",
+           "measure_point_host_chain", "sweep"]
 
 
 @dataclasses.dataclass
@@ -129,24 +130,72 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
                     total_bits=bits_done, total_bit_errors=errors)
 
 
+def measure_point_host_chain(code: CodeSpec, config: DecoderConfig,
+                             EbNo_dB: float, *, seed: int = 0,
+                             block_bits: int = 2048, batch: int = 256,
+                             max_bits: int, max_errors: int = 10_000
+                             ) -> BerPoint:
+    """BER point with the *host* signal chain: the native C++ runtime
+    generates data and runs encode -> AWGN -> quantise with mt19937
+    noise exactly like the reference harness (run_snr_ber.cpp:317-359),
+    and the accelerator only decodes.  This is the closest-possible
+    reproduction of the reference measurement pipeline; the default
+    :func:`measure_point` keeps the whole loop on device instead.
+    """
+    from .decoder import ViterbiDecoder
+    from .utils import native
+
+    if not native.available():
+        raise RuntimeError("native sigchain library unavailable; "
+                           "run `make -C native`")
+    enc = native.NativeEncoder(code.K, code.G)
+    dec = ViterbiDecoder(code, config, traceback_length=block_bits)
+    nbytes = block_bits // 8
+    bits_done = 0
+    errors = 0
+    frame = 0
+    while bits_done < max_bits and errors < max_errors:
+        data = native.random_bytes(seed * 1_000_003 + frame,
+                                   batch * nbytes).reshape(batch, nbytes)
+        syms = enc.encode_awgn_quantize(
+            data, EbNo_dB, config.soft_decision_high,
+            config.soft_decision_low, seed=seed * 7_000_003 + frame)
+        out, _, _ = dec.decode(syms.astype(np.int32), block_bits)
+        got = np.packbits(np.asarray(out), axis=-1, bitorder="big")
+        errors += native.count_bit_errors_bytes(got, data)
+        bits_done += batch * block_bits
+        frame += batch
+    return BerPoint(EbNo_dB=float(EbNo_dB),
+                    ber=errors / bits_done if bits_done else 0.0,
+                    total_bits=bits_done, total_bit_errors=int(errors))
+
+
 def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
           EbNo_start: float = 0.0, EbNo_step: float = 0.5,
           max_points: int = 24, block_bits: int = 2048, batch: int = 256,
           max_bits: Optional[int] = None, max_errors: int = 10_000,
           bits_scale: float = 1.0,
-          use_pallas: Optional[bool] = None) -> SweepResult:
+          use_pallas: Optional[bool] = None,
+          host_chain: bool = False) -> SweepResult:
     """Eb/No sweep, stopping at the first zero-error point
-    (run_snr_ber.cpp:318-396)."""
+    (run_snr_ber.cpp:318-396).  ``host_chain`` generates the channel on
+    the native C++ runtime instead of on device."""
     if max_bits is None:
         max_bits = default_max_bits(code, bits_scale)
     key = jax.random.PRNGKey(seed)
     points = []
     for i in range(max_points):
         key, sub = jax.random.split(key)
-        p = measure_point(code, config, EbNo_start + i * EbNo_step,
-                          key=sub, block_bits=block_bits, batch=batch,
-                          max_bits=max_bits, max_errors=max_errors,
-                          use_pallas=use_pallas)
+        EbNo = EbNo_start + i * EbNo_step
+        if host_chain:
+            p = measure_point_host_chain(
+                code, config, EbNo, seed=seed + i, block_bits=block_bits,
+                batch=batch, max_bits=max_bits, max_errors=max_errors)
+        else:
+            p = measure_point(code, config, EbNo,
+                              key=sub, block_bits=block_bits, batch=batch,
+                              max_bits=max_bits, max_errors=max_errors,
+                              use_pallas=use_pallas)
         points.append(p)
         if p.total_bit_errors == 0:
             break
