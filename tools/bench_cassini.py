@@ -72,8 +72,8 @@ for B in (128, 512, 1024):
     dt = marginal(f, m0, syms)
     print(f"B={B:5d} 1-step: {dt*1e3:8.2f} ms  "
           f"{B*T*code.R/dt/1e6:8.2f} Msym/s")
-    if hasattr(jax_core, "acs_scan_multi"):
-        f2 = make_scan(2)
+    for nstep in (2, 4):
+        f2 = make_scan(nstep)
         dt = marginal(f2, m0, syms)
-        print(f"B={B:5d} 2-step: {dt*1e3:8.2f} ms  "
+        print(f"B={B:5d} {nstep}-step: {dt*1e3:8.2f} ms  "
               f"{B*T*code.R/dt/1e6:8.2f} Msym/s")

@@ -207,7 +207,6 @@ class ViterbiDecoder:
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]
-        needed = total_bits + self.code.K - 1
         if self._traceback_length < total_bits:
             self.set_traceback_length(total_bits)
         state = self.reset(B)
