@@ -96,3 +96,33 @@ def test_block_sp_cassini_long_stream():
                                      overlap=64, total_rows=T)
     got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
     np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)
+
+
+@needs_mesh
+def test_block_sp_2d_mesh_data_x_time():
+    """Frame-DP composed with time-SP on one 2-D (data x time) mesh:
+    every device decodes a (B/2, T/4) tile; results match sequential."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    mesh = make_mesh((2, 4), ("data", "time"))
+    rng = np.random.RandomState(13)
+    nbytes = 64
+    B = 2
+    data = rng.randint(0, 256, (B, nbytes), dtype=np.uint8)
+    syms = np.stack([ref.encode_bytes(code, d, 127, -127) for d in data])
+    syms = np.clip(syms.astype(np.int64)
+                   + rng.randint(-30, 31, syms.shape), -127, 127)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    ntime = 4
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((B, pad_T, code.R), np.int32)
+    arr[:, :T] = syms.reshape(B, T, code.R)
+
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=96, total_rows=T)
+    for f in range(B):
+        got = np.asarray(bits)[f, code.K - 1:code.K - 1 + total_bits]
+        expect, _, _ = ref.viterbi_decode(code, config, syms[f], total_bits)
+        np.testing.assert_array_equal(got, expect)

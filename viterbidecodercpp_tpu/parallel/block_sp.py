@@ -89,8 +89,14 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     Returns per-row path bits (B, T) uint8: row t carries data bit
     t-(K-1) (viterbi_decoder_core.h:223-235), so data bits are rows
     [K-1, K-1+total_bits).
+
+    If the mesh also has a 'data' axis, the frame axis B shards over it
+    (frame-DP composed with time-SP on a 2-D mesh): each device decodes
+    its (B/data, T/time) tile and halo exchange rides the 'time' axis
+    only.
     """
     ntime = mesh.shape["time"]
+    data_axis = "data" if "data" in mesh.shape else None
     B, T, R = symbols.shape
     if T % ntime:
         raise ValueError(f"T={T} not divisible by time-axis size {ntime}")
@@ -105,6 +111,8 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     right_perm = [(i, i + 1) for i in range(ntime - 1)]
     left_perm = [(i + 1, i) for i in range(ntime - 1)]
 
+    vary_axes = ("time",) if data_axis is None else (data_axis, "time")
+
     def shard_fn(sym_blk):
         # sym_blk: (B, L, R) - this device's tile.
         idx = jax.lax.axis_index("time")
@@ -116,7 +124,7 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         ext = jnp.concatenate([halo_syms, sym_blk], axis=1)  # (B, O+L, R)
         reset_m = jax_core.initial_metrics(spec, Bl)
         uniform_m = jnp.full_like(reset_m, spec.init_other)
-        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), "time")
+        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), vary_axes)
         if use_pallas:
             from ..ops import acs_pallas
             _, packed_ext, _ = acs_pallas.acs_pallas(spec, m0, ext)
@@ -130,8 +138,8 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         # Interior devices: walk O halo rows from state 0 to converge.
         # Last device: no halo (zeros arrived) - walk only own rows from
         # end_state.
-        start_interior = pvary(jnp.zeros(Bl, jnp.int32), "time")
-        start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), "time")
+        start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
+        start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
         bits_interior = _path_bits_scan(spec, ext_dec, start_interior)[:L]
         # Last tile: mask stream-padding rows so the walk begins at the
         # true final row with end_state.
@@ -142,8 +150,8 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         return jnp.swapaxes(bits, 0, 1)                    # (B, L)
 
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(P(None, "time", None),),
-                   out_specs=P(None, "time"))
+                   in_specs=(P(data_axis, "time", None),),
+                   out_specs=P(data_axis, "time"))
     return jax.jit(fn)(symbols)
 
 

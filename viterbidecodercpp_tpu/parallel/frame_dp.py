@@ -106,3 +106,25 @@ def dryrun(n_devices: int) -> None:
     # --- time-SP leg -------------------------------------------------------
     if n_devices >= 2:
         block_sp.dryrun(n_devices)
+
+    # --- 2-D composed leg: frame-DP x time-SP on one mesh -------------------
+    if n_devices >= 4 and n_devices % 2 == 0:
+        mesh2 = make_mesh((2, n_devices // 2), ("data", "time"))
+        ntime = n_devices // 2
+        nbytes2 = 16 * ntime
+        d2 = rng.randint(0, 256, (2, nbytes2), dtype=np.uint8)
+        s2 = np.stack([
+            numpy_ref.encode_bytes(code, d, config.soft_decision_high,
+                                   config.soft_decision_low) for d in d2
+        ])
+        bits2 = nbytes2 * 8
+        T2 = bits2 + code.K - 1
+        pad_T2 = -(-T2 // ntime) * ntime
+        arr2 = np.zeros((2, pad_T2, code.R), np.int32)
+        arr2[:, :T2] = s2.reshape(2, T2, code.R)
+        out2 = block_sp.decode_stream_sp(spec, mesh2, jnp.asarray(arr2),
+                                         overlap=64, total_rows=T2)
+        got2 = np.asarray(out2)[:, code.K - 1:code.K - 1 + bits2]
+        expect2 = np.unpackbits(d2, axis=1, bitorder="big")
+        nerr2 = int((got2 != expect2).sum())
+        assert nerr2 == 0, f"2-D mesh decode had {nerr2} bit errors"

@@ -12,7 +12,8 @@ __all__ = ["make_mesh", "pvary"]
 
 
 def pvary(x, axis_name):
-    """Mark a per-shard constant as varying over ``axis_name``.
+    """Mark a per-shard constant as varying over ``axis_name`` (a name or
+    tuple of names).
 
     Inside shard_map, values built from constants are typed as replicated;
     feeding them into a lax.scan carry whose other inputs are
@@ -25,14 +26,15 @@ def pvary(x, axis_name):
         f = getattr(jax.lax, "pvary", None)
     if f is None:
         return x
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
 
     def mark(a):
         try:
-            if axis_name in getattr(jax.typeof(a), "vma", ()):
-                return a  # already varying over this axis
+            have = set(getattr(jax.typeof(a), "vma", ()))
         except Exception:
-            pass
-        return f(a, axis_name)
+            have = set()
+        need = tuple(ax for ax in axes if ax not in have)
+        return f(a, need) if need else a
 
     return jax.tree_util.tree_map(mark, x)
 
