@@ -49,7 +49,7 @@ def marginal(f, m0, syms):
     return best
 
 
-def make_scan(nstep):
+def make_scan(nstep, compact=False):
     @jax.jit
     def run(m, syms, reps):
         def body(i, carry):
@@ -58,22 +58,23 @@ def make_scan(nstep):
                 m2, packed, acc = jax_core.acs_scan(spec, m, syms)
             else:
                 m2, packed, acc = jax_core.acs_scan_multi(spec, m, syms,
-                                                          nstep)
+                                                          nstep, compact)
             return m2, sink + acc.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, reps, body,
                                  (m, jnp.zeros((), jnp.int32)))
     return run
 
 rng = np.random.RandomState(0)
-for B in (128, 512, 1024):
+for B in (512, 256):
     syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
     m0 = jax_core.initial_metrics(spec, B)
     f = make_scan(1)
     dt = marginal(f, m0, syms)
     print(f"B={B:5d} 1-step: {dt*1e3:8.2f} ms  "
           f"{B*T*code.R/dt/1e6:8.2f} Msym/s")
-    for nstep in (2, 4):
-        f2 = make_scan(nstep)
+    for nstep, compact in ((4, True), (8, True), (16, True)):
+        f2 = make_scan(nstep, compact)
         dt = marginal(f2, m0, syms)
-        print(f"B={B:5d} {nstep}-step: {dt*1e3:8.2f} ms  "
+        tag = f"{nstep}-step" + ("+u16" if compact else "")
+        print(f"B={B:5d} {tag}: {dt*1e3:8.2f} ms  "
               f"{B*T*code.R/dt/1e6:8.2f} Msym/s")

@@ -405,10 +405,14 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     """
     if not _supports(spec):
         # XLA fallback for huge state counts is HBM-bound on the metric
-        # tensor; two fused steps per scan iteration measure ~20% faster
-        # (tools/bench_cassini.py).
-        if symbols.shape[1] % 2 == 0:
-            return jax_core.acs_scan_multi(spec, metrics, symbols, 2)
+        # tensor; fused steps + compact (u8/u16) metric storage cut the
+        # round-trip traffic, ~1.4-1.9x on Cassini at B=512
+        # (tools/bench_cassini.py); unroll plateaus at 4.
+        T = symbols.shape[1]
+        for unroll in (4, 2):
+            if T % unroll == 0:
+                return jax_core.acs_scan_multi(spec, metrics, symbols,
+                                               unroll)
         return jax_core.acs_scan(spec, metrics, symbols)
     if interpret is None:
         # Interpreter mode is the qemu-equivalent for running the Pallas

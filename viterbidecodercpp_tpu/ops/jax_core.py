@@ -226,21 +226,30 @@ def acs_scan(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray
     return metrics, packed, acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def acs_scan_multi(spec: StaticSpec, metrics: jnp.ndarray,
-                   symbols: jnp.ndarray, unroll: int = 2
+                   symbols: jnp.ndarray, unroll: int = 2,
+                   compact: bool = True
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """:func:`acs_scan` with ``unroll`` trellis steps per scan iteration.
+    """:func:`acs_scan` with ``unroll`` trellis steps per scan iteration
+    and (by default) *compact metric storage*.
 
     Bit-identical; exists because for very large state counts (K=15:
     2^14-state metric tensors in HBM) the scan is bandwidth-bound on the
-    metric round-trip, and unrolling lets XLA fuse consecutive steps so
-    intermediate metrics never hit HBM.  ``T`` must be divisible by
-    ``unroll`` (callers pad or fall back to :func:`acs_scan`).
+    metric round-trip.  Two levers, both semantics-free:
+      * ``unroll``: several butterfly steps per scan iteration (``T``
+        must be divisible; callers pad or fall back to :func:`acs_scan`).
+      * ``compact``: metrics live in HBM as the emulated unsigned width
+        (uint8/uint16 - values are always in [0, metric_max]), widened
+        to int32 only inside each step, quartering/halving the dominant
+        HBM traffic.
     """
     B, T, R = symbols.shape
     if T % unroll:
         raise ValueError(f"T={T} not divisible by unroll={unroll}")
+    store_dt = jnp.int32
+    if compact:
+        store_dt = jnp.uint8 if spec.metric_max <= 0xFF else jnp.uint16
     sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)  # (T, R, B)
     sym_g = sym_t.reshape(T // unroll, unroll, R, B)
 
@@ -248,16 +257,18 @@ def acs_scan_multi(spec: StaticSpec, metrics: jnp.ndarray,
         m, acc = carry
         words = []
         for u in range(unroll):
-            m, dec0, dec1 = _butterfly_step(spec, m, sym_group[u])
-            m, sub = _renormalise(spec, m)
+            m32, dec0, dec1 = _butterfly_step(spec, m.astype(jnp.int32),
+                                              sym_group[u])
+            m32, sub = _renormalise(spec, m32)
+            m = m32.astype(store_dt)
             acc = acc + sub
             words.append(pack_decisions(spec, dec0, dec1))
         return (m, acc), jnp.stack(words)
 
     acc0 = metrics[0, :].astype(jnp.int32) * 0
-    (metrics, acc), packed = jax.lax.scan(
-        step, (metrics.astype(jnp.int32), acc0), sym_g)
-    return metrics, packed.reshape(T, spec.W, B), acc
+    (m_out, acc), packed = jax.lax.scan(
+        step, (metrics.astype(store_dt), acc0), sym_g)
+    return m_out.astype(jnp.int32), packed.reshape(T, spec.W, B), acc
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
