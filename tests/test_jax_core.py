@@ -163,8 +163,11 @@ def test_acs_scan_multi_bit_exact(unroll):
     b = jax_core.acs_scan_multi(spec, m0, syms, unroll)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    with pytest.raises(ValueError):
-        jax_core.acs_scan_multi(spec, m0, syms[:, :T - 1], unroll)
+    # ragged T: internal pad+mask must leave the carry untouched
+    a2 = jax_core.acs_scan(spec, m0, syms[:, :T - 1])
+    b2 = jax_core.acs_scan_multi(spec, m0, syms[:, :T - 1], unroll)
+    for x, y in zip(a2, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_cassini_chainback_pallas_falls_back():
@@ -186,3 +189,32 @@ def test_cassini_chainback_pallas_falls_back():
         spec, packed, jnp.zeros(1, jnp.int32), 16)
     np.testing.assert_array_equal(
         np.packbits(np.asarray(bits), axis=-1, bitorder="big"), data)
+
+
+@pytest.mark.parametrize("name,dt,arith", [
+    ("Basic K=5 R=1/2", DecodeType.SOFT16, "saturating"),
+    ("Voyager", DecodeType.SOFT8, "saturating"),
+    ("Voyager", DecodeType.SOFT16, "wrapping"),
+    ("Cassini", DecodeType.SOFT16, "saturating"),
+])
+def test_rotated_layout_bit_exact(name, dt, arith):
+    """ops/bigstate rotated-layout ACS + traceback vs the standard scan
+    (metrics, renorm accumulator, and decoded bits all bit-identical)."""
+    import jax.numpy as jnp
+
+    from viterbidecodercpp_tpu.ops import bigstate
+
+    code = get_code(name)
+    config = get_decode_config(dt, code.R, arith=arith)
+    spec = jax_core.make_static_spec(code, config)
+    nbytes = 4 if code.K >= 15 else 10
+    data, syms = make_batch(code, config, nbytes, batch=2, noise=2)
+    sj = jnp.asarray(syms.reshape(2, -1, code.R))
+    m0 = jax_core.initial_metrics(spec, 2)
+    em, ep, ea = jax_core.acs_scan(spec, m0, sj)
+    ends = jnp.zeros(2, jnp.int32)
+    eb = jax_core.chainback_scan(spec, ep, ends, nbytes * 8)
+    rb, rm, _, ra = bigstate.decode_big(spec, m0, sj, ends, nbytes * 8)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(rm))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(ra))
+    np.testing.assert_array_equal(np.asarray(eb), np.asarray(rb))

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Rotated-layout vs standard XLA fallback for K=15 (TPU)."""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import bigstate, jax_core
+
+code = get_code("Cassini")
+config = get_decode_config(DecodeType.SOFT16, code.R)
+spec = jax_core.make_static_spec(code, config)
+T = int(sys.argv[1]) if len(sys.argv) > 1 else 2062
+
+
+def timed(f, *a):
+    t0 = time.perf_counter()
+    jax.device_get(jax.tree_util.tree_leaves(f(*a))[-1])
+    return time.perf_counter() - t0
+
+
+def marginal(f, m0, syms, n1=1, n2=9):
+    timed(f, m0, syms, n1); timed(f, m0, syms, n2)
+    s = sorted((timed(f, m0, syms, n2) - timed(f, m0, syms, n1)) / (n2 - n1)
+               for _ in range(3))
+    return s[1]
+
+
+def make(kind, keep_decisions=True):
+    @jax.jit
+    def run(m, syms, reps):
+        def body(i, carry):
+            m, sink = carry
+            if kind == "rotated":
+                m2, packed, acc = bigstate.acs_scan_rotated(spec, m, syms)
+            elif kind == "multi4":
+                m2, packed, acc = jax_core.acs_scan_multi(spec, m, syms, 4)
+            else:
+                m2, packed, acc = jax_core.acs_scan(spec, m, syms)
+            sink = sink + acc.astype(jnp.int32).sum()
+            if keep_decisions:
+                sink = sink + packed[0, 0, 0] + packed[-1, -1, -1]
+            return m2, sink
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m, jnp.zeros((), jnp.int32)))
+    return run
+
+
+rng = np.random.RandomState(0)
+for B in (512,):
+    syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    for kind in ("plain", "multi4", "rotated"):
+        for keep in (False, True):
+            f = make(kind, keep)
+            dt = marginal(f, m0, syms)
+            tag = kind + ("+dec" if keep else "    ")
+            print(f"B={B:5d} {tag:12s}: {dt*1e3:8.2f} ms  "
+                  f"{B*T*code.R/dt/1e6:8.2f} Msym/s")

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Device-trace the K=15 XLA fallback to find what materializes."""
+import sys
+sys.path.insert(0, ".")
+
+import gzip, glob, json
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import jax_core
+
+code = get_code("Cassini")
+config = get_decode_config(DecodeType.SOFT16, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 512, 280
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
+m0 = jax_core.initial_metrics(spec, B)
+
+from viterbidecodercpp_tpu.ops import bigstate
+
+@jax.jit
+def run(m):
+    m2, packed, acc = bigstate.acs_scan_rotated(spec, m, syms)
+    return acc.sum() + packed[0, 0, 0] + packed[-1, -1, -1] + m2[0, 0]
+
+jax.device_get(run(m0))
+outdir = "/tmp/vdt_cassini_trace"
+with jax.profiler.trace(outdir):
+    jax.device_get(run(m0))
+
+f = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+d = json.loads(gzip.open(f).read())
+names = {}
+for e in d.get("traceEvents", []):
+    if e.get("ph") == "X" and "dur" in e and not e["name"].startswith("$"):
+        names.setdefault(e["name"][:70], [0, 0])
+        names[e["name"][:70]][0] += e["dur"]
+        names[e["name"][:70]][1] += 1
+for n, (tot, cnt) in sorted(names.items(), key=lambda kv: -kv[1][0])[:15]:
+    print(f"{tot/1e3:9.2f} ms  x{cnt:5d}  {n}")

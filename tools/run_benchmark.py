@@ -49,23 +49,36 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     m0 = jax_core.initial_metrics(spec, batch)
     ends = jnp.zeros(batch, jnp.int32)
     use_pallas = backend == "PALLAS"
+    big = code.num_states > 4096
     REPS = 17
+
+    def acs(m, s):
+        # PALLAS = production auto path: Pallas kernel, or the rotated
+        # XLA layout for S > 4096 (ops/bigstate.py).
+        if use_pallas and big:
+            from viterbidecodercpp_tpu.ops import bigstate
+            return bigstate.acs_scan_rotated(spec, m, s)
+        if use_pallas:
+            return acs_pallas.acs_pallas(spec, m, s)
+        return jax_core.acs_scan(spec, m, s)
+
+    def cback(p, e):
+        if use_pallas and big:
+            from viterbidecodercpp_tpu.ops import bigstate
+            return bigstate.chainback_rotated(spec, p, e, total_bits)
+        if use_pallas:
+            return chainback_pallas.chainback_pallas(spec, p, e, total_bits)
+        return jax_core.chainback_scan(spec, p, e, total_bits)
 
     @jax.jit
     def update_n(m, s, reps):
         def body(i, carry):
             m, sink = carry
-            if use_pallas:
-                m, packed, acc = acs_pallas.acs_pallas(spec, m, s)
-            else:
-                m, packed, acc = jax_core.acs_scan(spec, m, s)
+            m, packed, acc = acs(m, s)
             return m, sink + packed[0, 0, 0] + acc[0]
         return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 
-    if use_pallas:
-        _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
-    else:
-        _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+    _, packed, _ = acs(m0, syms)
     packed = jax.block_until_ready(packed)
 
     @jax.jit
@@ -75,11 +88,7 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
         # the loop-invariant chainback out of the timing loop.
         def body(i, carry):
             e, sink = carry
-            if use_pallas:
-                bits = chainback_pallas.chainback_pallas(spec, p, e,
-                                                         total_bits)
-            else:
-                bits = jax_core.chainback_scan(spec, p, e, total_bits)
+            bits = cback(p, e)
             e = jnp.minimum(bits[:, 0].astype(jnp.int32), spec.S - 1)
             return e, sink + bits.astype(jnp.int32).sum() + i
         return jax.lax.fori_loop(0, reps, body,
@@ -165,8 +174,8 @@ def main():
             if args.d and dt.value.lower() != args.d:
                 continue
             for backend in backends:
-                if backend == "PALLAS" and code.num_states > 4096:
-                    continue
+                # PALLAS = the production wrapper (falls back internally
+                # to the fused compact XLA scan for S > 4096, e.g. K=15).
                 print(f"benchmarking {code.name} {dt.value} {backend}...",
                       file=sys.stderr)
                 rows.append(bench_combo(code, dt, backend, args.B, args.M,

@@ -74,6 +74,11 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
     def decode(syms):
         Bl = syms.shape[0]
         m0 = jax_core.initial_metrics(spec, Bl)
+        if spec.S > 4096:
+            from .ops import bigstate
+            bits, _, _, _ = bigstate.decode_big(
+                spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)
+            return bits
         if use_pallas:
             from .ops import acs_pallas, chainback_pallas
             _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)

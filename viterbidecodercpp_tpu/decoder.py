@@ -204,9 +204,22 @@ class ViterbiDecoder:
         """reset + update + chainback in one call.
 
         Returns (bits (B, total_bits), final_error (B,), accumulated (B,)).
+
+        For huge state counts (S > 4096, e.g. K=15 Cassini) the one-shot
+        call uses the rotated-layout path (ops/bigstate.py), ~2x the
+        chunked update path; results are bit-identical.
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]
+        if self.spec.S > 4096:
+            from .ops import bigstate
+
+            m0 = jax_core.initial_metrics(self.spec, B)
+            ends = jnp.full((B,), end_state, jnp.int32)
+            bits, m, _, acc = bigstate.decode_big(
+                self.spec, m0, symbols.reshape(B, -1, self.code.R),
+                ends, total_bits)
+            return bits, m[end_state & (self.spec.S - 1), :], acc
         if self._traceback_length < total_bits:
             self.set_traceback_length(total_bits)
         state = self.reset(B)

@@ -407,13 +407,9 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
         # XLA fallback for huge state counts is HBM-bound on the metric
         # tensor; fused steps + compact (u8/u16) metric storage cut the
         # round-trip traffic, ~1.4-1.9x on Cassini at B=512
-        # (tools/bench_cassini.py); unroll plateaus at 4.
-        T = symbols.shape[1]
-        for unroll in (4, 2):
-            if T % unroll == 0:
-                return jax_core.acs_scan_multi(spec, metrics, symbols,
-                                               unroll)
-        return jax_core.acs_scan(spec, metrics, symbols)
+        # (tools/bench_cassini.py); unroll plateaus at 4 (any T - the
+        # scan pads and masks internally).
+        return jax_core.acs_scan_multi(spec, metrics, symbols, 4)
     if interpret is None:
         # Interpreter mode is the qemu-equivalent for running the Pallas
         # matrix on hosts without a TPU (SURVEY.md section 4).

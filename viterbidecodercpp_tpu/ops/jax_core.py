@@ -237,38 +237,44 @@ def acs_scan_multi(spec: StaticSpec, metrics: jnp.ndarray,
     Bit-identical; exists because for very large state counts (K=15:
     2^14-state metric tensors in HBM) the scan is bandwidth-bound on the
     metric round-trip.  Two levers, both semantics-free:
-      * ``unroll``: several butterfly steps per scan iteration (``T``
-        must be divisible; callers pad or fall back to :func:`acs_scan`).
+      * ``unroll``: several butterfly steps per scan iteration.  Any T
+        works: the time axis pads internally and padded steps leave the
+        carry untouched (tail-terminated frames have T = bits + K - 1,
+        which is never a multiple of 4 for byte-aligned data).
       * ``compact``: metrics live in HBM as the emulated unsigned width
         (uint8/uint16 - values are always in [0, metric_max]), widened
         to int32 only inside each step, quartering/halving the dominant
         HBM traffic.
     """
     B, T, R = symbols.shape
-    if T % unroll:
-        raise ValueError(f"T={T} not divisible by unroll={unroll}")
     store_dt = jnp.int32
     if compact:
         store_dt = jnp.uint8 if spec.metric_max <= 0xFF else jnp.uint16
+    T_pad = -(-T // unroll) * unroll
     sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)  # (T, R, B)
-    sym_g = sym_t.reshape(T // unroll, unroll, R, B)
+    sym_t = jnp.pad(sym_t, ((0, T_pad - T), (0, 0), (0, 0)))
+    sym_g = sym_t.reshape(T_pad // unroll, unroll, R, B)
+    gidx = jnp.arange(T_pad // unroll, dtype=jnp.int32)
 
-    def step(carry, sym_group):
+    def step(carry, xs):
         m, acc = carry
+        sym_group, g = xs
         words = []
         for u in range(unroll):
+            live = g * unroll + u < T
             m32, dec0, dec1 = _butterfly_step(spec, m.astype(jnp.int32),
                                               sym_group[u])
             m32, sub = _renormalise(spec, m32)
-            m = m32.astype(store_dt)
-            acc = acc + sub
+            m = jnp.where(live, m32, m.astype(jnp.int32)).astype(store_dt)
+            acc = acc + jnp.where(live, sub, 0)
             words.append(pack_decisions(spec, dec0, dec1))
         return (m, acc), jnp.stack(words)
 
     acc0 = metrics[0, :].astype(jnp.int32) * 0
     (m_out, acc), packed = jax.lax.scan(
-        step, (metrics.astype(store_dt), acc0), sym_g)
-    return m_out.astype(jnp.int32), packed.reshape(T, spec.W, B), acc
+        step, (metrics.astype(store_dt), acc0), (sym_g, gidx))
+    return (m_out.astype(jnp.int32),
+            packed.reshape(T_pad, spec.W, B)[:T], acc)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
