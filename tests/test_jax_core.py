@@ -218,3 +218,16 @@ def test_rotated_layout_bit_exact(name, dt, arith):
     np.testing.assert_array_equal(np.asarray(em), np.asarray(rm))
     np.testing.assert_array_equal(np.asarray(ea), np.asarray(ra))
     np.testing.assert_array_equal(np.asarray(eb), np.asarray(rb))
+
+
+def test_update_capacity_overflow_raises():
+    """Writing past the decision buffer must raise, not silently clamp
+    (mirror of the reference's capacity assert)."""
+    code = get_code("Voyager")
+    dec = ViterbiDecoder(code, DecodeType.SOFT16, backend="xla",
+                         traceback_length=16)
+    state = dec.reset(1)
+    syms = np.zeros((1, 16 * code.R), np.int32)
+    state = dec.update(state, syms)  # fills 16 of 16+K-1 rows
+    with pytest.raises(ValueError, match="overflow"):
+        dec.update(state, np.zeros((1, 8 * code.R), np.int32))

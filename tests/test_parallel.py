@@ -126,3 +126,33 @@ def test_block_sp_2d_mesh_data_x_time():
         got = np.asarray(bits)[f, code.K - 1:code.K - 1 + total_bits]
         expect, _, _ = ref.viterbi_decode(code, config, syms[f], total_bits)
         np.testing.assert_array_equal(got, expect)
+
+
+def test_punctured_stream_over_time_mesh():
+    """Realistic composition: DAB FIC punctured stream, depunctured and
+    decoded with the time axis sharded over the mesh - exact recovery."""
+    from viterbidecodercpp_tpu import CodeSpec, puncture
+    from viterbidecodercpp_tpu.ops import encoder
+
+    code = CodeSpec("DAB FIC mother", 7, (109, 79, 83, 109))
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    sched = puncture.dab_fic_schedule(code)
+    mask = puncture.schedule_mask(sched)
+    total_bits = 32 * 24
+    rng = np.random.RandomState(21)
+    data = rng.randint(0, 256, total_bits // 8, dtype=np.uint8)
+    full = ref.encode_bytes(code, data, 127, -127)
+    kept = full[mask.astype(bool)]
+    rx = np.asarray(encoder.depuncture(jnp.asarray(kept[None, :]), mask,
+                                       neutral=0))
+    ntime = 4
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = rx.reshape(T, code.R)
+    mesh = make_mesh((ntime,), ("time",))
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=96, total_rows=T)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)

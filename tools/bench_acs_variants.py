@@ -61,6 +61,10 @@ variants = [
     ("pack tb128", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False)),
     ("pack tb256", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False,
                         time_block=256)),
+    ("pack pair_io", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False,
+                          pair_io=True)),
+    ("base pair_io", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
+                          pair_io=True)),
 ]
 if "--full" in sys.argv:
     variants += [

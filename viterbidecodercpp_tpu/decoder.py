@@ -150,6 +150,19 @@ class ViterbiDecoder:
         if N % self.code.R:
             raise ValueError("symbol count must be a multiple of R")
         nbits = N // self.code.R
+        # Mirror of the reference's capacity assert
+        # (viterbi_decoder_core.h:180-186): a write past the decision
+        # buffer would otherwise silently clamp and corrupt the tail.
+        # Only checkable when the cursor is concrete (i.e. update is
+        # called from Python, the designed usage - it jits internally).
+        if not isinstance(state.bit_cursor, jax.core.Tracer):
+            cursor = int(state.bit_cursor)
+            if cursor + nbits > state.decisions.shape[0]:
+                raise ValueError(
+                    f"decision buffer overflow: {cursor} rows used + "
+                    f"{nbits} new > capacity {state.decisions.shape[0]} "
+                    "(set_traceback_length before reset, or chainback "
+                    "and reset between blocks)")
         return self._update_jit(self.spec, self.backend, state,
                                 symbols.reshape(B, nbits, self.code.R))
 

@@ -129,7 +129,7 @@ def _pack_matrix(spec: StaticSpec) -> np.ndarray:
 
 def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                  mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
-                 amp: Optional[int]):
+                 amp: Optional[int], pair_io: bool = False):
     H, S, W, R = spec.H, spec.S, spec.W, spec.R
     cap = spec.metric_max
     saturating = spec.saturating
@@ -248,20 +248,42 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
             # elementwise path packs per step so raw decisions never
             # accumulate (for H = 128+ they would dominate VMEM).
             rows = []
-            for t in range(CHUNK):
-                metrics = metrics_ref[:]
-                if mxu_bm:
-                    arg = d_all[t * H:(t + 1) * H, :]
-                else:
-                    arg = [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
-                nm, dec0, dec1 = acs_core(metrics, arg)
-                commit(nm, gbase + t < total_steps)
+
+            def emit(dec0, dec1):
                 if mxu_pack:
                     rows.append(dec0.astype(jnp.float32) +
                                 2.0 * dec1.astype(jnp.float32))
                 else:
                     rows.append(_pack_words(spec, dec0.astype(jnp.int32),
                                             dec1.astype(jnp.int32)))
+
+            def arg_for(t):
+                if mxu_bm:
+                    return d_all[t * H:(t + 1) * H, :]
+                return [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
+
+            if pair_io:
+                # one metrics VMEM round-trip per pair of steps
+                for t in range(0, CHUNK, 2):
+                    m = metrics_ref[:]
+                    acc_l = None
+                    for u in (t, t + 1):
+                        nm, dec0, dec1 = acs_core(m, arg_for(u))
+                        live = gbase + u < total_steps
+                        gate = jnp.logical_and(nm[0:1, :] >= thr, live)
+                        mins = jnp.min(nm, axis=0, keepdims=True)
+                        sub = jnp.where(gate, mins, 0)
+                        m = jnp.where(live, nm - sub, m)
+                        acc_l = sub if acc_l is None else acc_l + sub
+                        emit(dec0, dec1)
+                    metrics_ref[:] = m
+                    acc_ref[:] = acc_ref[:] + acc_l
+            else:
+                for t in range(CHUNK):
+                    metrics = metrics_ref[:]
+                    nm, dec0, dec1 = acs_core(metrics, arg_for(t))
+                    commit(nm, gbase + t < total_steps)
+                    emit(dec0, dec1)
             if mxu_pack:
                 c_all = jnp.concatenate(rows, axis=0)        # (CHUNK*H, B)
                 halves = jax.lax.dot_general(
@@ -281,11 +303,12 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
                        symbols: jnp.ndarray, time_block: int,
                        total_steps: int, interpret: bool,
-                       mxu_bm: bool, mxu_pack: bool, cond_renorm: bool
+                       mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
+                       pair_io: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Padded-layout kernel launch.
 
@@ -305,7 +328,7 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
               and spec.max_error == 2 * spec.R * amp)
 
     kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
-                          cond_renorm, amp)
+                          cond_renorm, amp, pair_io)
 
     const_specs = []
     const_vals = []
@@ -384,7 +407,8 @@ def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
 def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
                *, time_block: Optional[int] = None,
                interpret: bool = None, mxu_bm: bool = False,
-               mxu_pack: bool = True, cond_renorm: bool = False
+               mxu_pack: bool = True, cond_renorm: bool = False,
+               pair_io: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -430,7 +454,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
 
     m_out, packed, acc = _acs_pallas_padded(
         spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),
-        bool(mxu_pack), bool(cond_renorm))
+        bool(mxu_pack), bool(cond_renorm), bool(pair_io))
 
     packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
     return m_out[:, :B], packed, acc[0, :B]
