@@ -37,6 +37,9 @@ def make(kind, keep_decisions=True):
             m, sink = carry
             if kind == "rotated":
                 m2, packed, acc = bigstate.acs_scan_rotated(spec, m, syms)
+            elif kind == "rot_nomxu":
+                m2, packed, acc = bigstate.acs_scan_rotated(spec, m, syms,
+                                                            False)
             elif kind == "multi4":
                 m2, packed, acc = jax_core.acs_scan_multi(spec, m, syms, 4)
             else:
@@ -54,8 +57,8 @@ rng = np.random.RandomState(0)
 for B in (512,):
     syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
     m0 = jax_core.initial_metrics(spec, B)
-    for kind in ("plain", "multi4", "rotated"):
-        for keep in (False, True):
+    for kind in ("multi4", "rot_nomxu", "rotated"):
+        for keep in (True,):
             f = make(kind, keep)
             dt = marginal(f, m0, syms)
             tag = kind + ("+dec" if keep else "    ")

@@ -80,9 +80,25 @@ def _unrotate_perm(spec: StaticSpec, t: int) -> np.ndarray:
     return _rotr(s, t, n)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+def _pack_matrix_big(spec: StaticSpec) -> np.ndarray:
+    """(2W, H) f32 weights building each packed int32 word as two exact
+    16-bit halves from c = dec0 + 2*dec1 (cf. acs_pallas._pack_matrix,
+    single step): half sums <= 65535 < 2^24, exact in bf16 x bf16 -> f32."""
+    H, W = spec.H, spec.W
+    m = np.zeros((2 * W, H), np.float32)
+    for w in range(W):
+        for h in range(16 * w, min(16 * w + 16, H)):
+            bitpos = 2 * (h - 16 * w)
+            if bitpos < 16:
+                m[w, h] = float(1 << bitpos)
+            else:
+                m[W + w, h] = float(1 << (bitpos - 16))
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
-                     symbols: jnp.ndarray
+                     symbols: jnp.ndarray, mxu_pack: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """ACS over (B, T, R) symbols in the rotated layout.
 
@@ -99,6 +115,8 @@ def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     thr = spec.renorm_threshold
     store_dt = jnp.uint8 if cap <= 0xFF else jnp.uint16
     tables = _phase_tables(spec)
+    packmat = (jnp.asarray(_pack_matrix_big(spec), jnp.bfloat16)
+               if mxu_pack else None)
 
     T_pad = -(-T // n) * n
     sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)  # (T, R, B)
@@ -142,7 +160,18 @@ def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
         nm = jnp.stack([new_lo.reshape(S >> (j + 1), 1 << j, B),
                         new_hi.reshape(S >> (j + 1), 1 << j, B)],
                        axis=1).reshape(S, B)
-        return nm, jax_core.pack_decisions(spec, dec0, dec1)
+        if mxu_pack:
+            # Ablation arm: exact 16-bit halves on the MXU. Measured
+            # slightly slower than the elementwise reduce (the (2W, H)
+            # weight matrix re-streams from HBM every step); default off.
+            c = (dec0 + 2 * dec1).astype(jnp.bfloat16)
+            halves = jax.lax.dot_general(
+                packmat, c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            packed = halves[0:W, :] + (halves[W:2 * W, :] << 16)
+        else:
+            packed = jax_core.pack_decisions(spec, dec0, dec1)
+        return nm, packed
 
     def step(carry, xs):
         m, acc = carry
