@@ -73,6 +73,7 @@ def test_dryrun_entrypoints():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
 def test_block_sp_cassini_long_stream():
     """BASELINE config 5: K=15 Cassini, a long stream tiled over the
     'time' mesh axis with block traceback (the multi-host long-stream
@@ -128,6 +129,7 @@ def test_block_sp_2d_mesh_data_x_time():
         np.testing.assert_array_equal(got, expect)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_punctured_stream_over_time_mesh():
     """Realistic composition: DAB FIC punctured stream, depunctured and
     decoded with the time axis sharded over the mesh - exact recovery."""

@@ -49,23 +49,19 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     m0 = jax_core.initial_metrics(spec, batch)
     ends = jnp.zeros(batch, jnp.int32)
     use_pallas = backend == "PALLAS"
-    big = code.num_states > 4096
     REPS = 17
 
     def acs(m, s):
-        # PALLAS = production auto path: Pallas kernel, or the rotated
-        # XLA layout for S > 4096 (ops/bigstate.py).
-        if use_pallas and big:
-            from viterbidecodercpp_tpu.ops import bigstate
-            return bigstate.acs_scan_rotated(spec, m, s)
+        # PALLAS = the production incremental path (ViterbiDecoder
+        # update): the Pallas kernel, falling back internally to the
+        # fused compact XLA scan for S > 4096.  (The one-shot decode()
+        # additionally has ops/bigstate.py; end-to-end K=15 rates are
+        # equal within noise - PERF.md.)
         if use_pallas:
             return acs_pallas.acs_pallas(spec, m, s)
         return jax_core.acs_scan(spec, m, s)
 
     def cback(p, e):
-        if use_pallas and big:
-            from viterbidecodercpp_tpu.ops import bigstate
-            return bigstate.chainback_rotated(spec, p, e, total_bits)
         if use_pallas:
             return chainback_pallas.chainback_pallas(spec, p, e, total_bits)
         return jax_core.chainback_scan(spec, p, e, total_bits)
@@ -174,8 +170,6 @@ def main():
             if args.d and dt.value.lower() != args.d:
                 continue
             for backend in backends:
-                # PALLAS = the production wrapper (falls back internally
-                # to the fused compact XLA scan for S > 4096, e.g. K=15).
                 print(f"benchmarking {code.name} {dt.value} {backend}...",
                       file=sys.stderr)
                 rows.append(bench_combo(code, dt, backend, args.B, args.M,

@@ -74,7 +74,7 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
     def decode(syms):
         Bl = syms.shape[0]
         m0 = jax_core.initial_metrics(spec, Bl)
-        if spec.S > 4096:
+        if jax_core.needs_big_state(spec):
             from .ops import bigstate
             bits, _, _, _ = bigstate.decode_big(
                 spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)

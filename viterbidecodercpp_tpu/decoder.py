@@ -129,12 +129,14 @@ class ViterbiDecoder:
     def reset(self, batch: int, starting_state: int = 0) -> DecoderState:
         """Fresh carry for ``batch`` frames (viterbi_decoder_core.h:202-211)."""
         spec = self.spec
-        return DecoderState(
+        state = DecoderState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
             decisions=jnp.zeros((self.decision_rows, spec.W, batch), jnp.int32),
             accumulated_error=jnp.zeros(batch, jnp.int32),
             bit_cursor=jnp.zeros((), jnp.int32),
         )
+        state._host_cursor = 0  # host mirror for the capacity check
+        return state
 
     # -- hot path ---------------------------------------------------------
     def update(self, state: DecoderState, symbols) -> DecoderState:
@@ -153,18 +155,26 @@ class ViterbiDecoder:
         # Mirror of the reference's capacity assert
         # (viterbi_decoder_core.h:180-186): a write past the decision
         # buffer would otherwise silently clamp and corrupt the tail.
-        # Only checkable when the cursor is concrete (i.e. update is
-        # called from Python, the designed usage - it jits internally).
-        if not isinstance(state.bit_cursor, jax.core.Tracer):
+        # The cursor is host-determined (reset -> 0, +nbits per update),
+        # so track a host-side mirror to avoid a device sync per call;
+        # states from elsewhere (load(), user pytree surgery) pay one
+        # int() sync the first time. Skipped entirely under tracing.
+        cursor = getattr(state, "_host_cursor", None)
+        if cursor is None and not isinstance(state.bit_cursor,
+                                             jax.core.Tracer):
             cursor = int(state.bit_cursor)
+        if cursor is not None:
             if cursor + nbits > state.decisions.shape[0]:
                 raise ValueError(
                     f"decision buffer overflow: {cursor} rows used + "
                     f"{nbits} new > capacity {state.decisions.shape[0]} "
                     "(set_traceback_length before reset, or chainback "
                     "and reset between blocks)")
-        return self._update_jit(self.spec, self.backend, state,
-                                symbols.reshape(B, nbits, self.code.R))
+        new = self._update_jit(self.spec, self.backend, state,
+                               symbols.reshape(B, nbits, self.code.R))
+        if cursor is not None:
+            new._host_cursor = cursor + nbits
+        return new
 
     @staticmethod
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
@@ -224,7 +234,7 @@ class ViterbiDecoder:
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]
-        if self.spec.S > 4096:
+        if jax_core.needs_big_state(self.spec):
             from .ops import bigstate
 
             m0 = jax_core.initial_metrics(self.spec, B)

@@ -67,7 +67,8 @@ DEFAULT_TIME_BLOCK = 256  # auto time_block cap (trellis steps/grid step)
 
 # Above this state count the (S, B) working set stops fitting comfortably
 # in VMEM with B = 128 lanes; fall back to the XLA scan (K = 15 Cassini).
-MAX_PALLAS_STATES = 4096
+# Single source of truth: jax_core.MAX_LANE_STATES.
+MAX_PALLAS_STATES = jax_core.MAX_LANE_STATES
 
 # MXU offload bound: the per-chunk (CHUNK*H, B) matmul operands must stay
 # small next to the metric tensor; above this half-state count the
@@ -427,7 +428,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     ablation arms (mxu_bm additionally requires symbols within
     [low, high] - see module docstring).
     """
-    if not _supports(spec):
+    if jax_core.needs_big_state(spec):
         # XLA fallback for huge state counts is HBM-bound on the metric
         # tensor; fused steps + compact (u8/u16) metric storage cut the
         # round-trip traffic, ~1.4-1.9x on Cassini at B=512

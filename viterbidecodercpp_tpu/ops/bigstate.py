@@ -110,10 +110,7 @@ def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     n = spec.K - 1
     S, H, W = spec.S, spec.H, spec.W
     B, T, R = symbols.shape
-    sat = spec.saturating
-    cap = spec.metric_max
-    thr = spec.renorm_threshold
-    store_dt = jnp.uint8 if cap <= 0xFF else jnp.uint16
+    store_dt = jnp.uint8 if spec.metric_max <= 0xFF else jnp.uint16
     tables = _phase_tables(spec)
     packmat = (jnp.asarray(_pack_matrix_big(spec), jnp.bfloat16)
                if mxu_pack else None)
@@ -136,27 +133,9 @@ def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
         bm = jnp.abs(btj[0][:, None] - sym[0][None, :])
         for r in range(1, R):
             bm = bm + jnp.abs(btj[r][:, None] - sym[r][None, :])
-        ibm = spec.max_error - bm
-        e00 = lo + bm
-        e10 = hi + ibm
-        e01 = lo + ibm
-        e11 = hi + bm
-        if sat:
-            e00 = jnp.minimum(e00, cap)
-            e10 = jnp.minimum(e10, cap)
-            e01 = jnp.minimum(e01, cap)
-            e11 = jnp.minimum(e11, cap)
-            dec0 = (e10 <= e00).astype(jnp.int32)
-            dec1 = (e11 <= e01).astype(jnp.int32)
-        else:
-            e00 = jnp.bitwise_and(e00, cap)
-            e10 = jnp.bitwise_and(e10, cap)
-            e01 = jnp.bitwise_and(e01, cap)
-            e11 = jnp.bitwise_and(e11, cap)
-            dec0 = (e00 > e10).astype(jnp.int32)
-            dec1 = (e01 > e11).astype(jnp.int32)
-        new_lo = jnp.where(dec0 == 1, e10, e00)       # state 2h -> slot p
-        new_hi = jnp.where(dec1 == 1, e11, e01)       # state 2h+1 -> p|2^j
+        # shared ACS core (tie-break/saturation semantics live in one
+        # place): state 2h -> its lo slot p, state 2h+1 -> p | 2^j
+        new_lo, new_hi, dec0, dec1 = jax_core.acs_select(spec, lo, hi, bm)
         nm = jnp.stack([new_lo.reshape(S >> (j + 1), 1 << j, B),
                         new_hi.reshape(S >> (j + 1), 1 << j, B)],
                        axis=1).reshape(S, B)
@@ -180,11 +159,9 @@ def acs_scan_rotated(spec: StaticSpec, metrics: jnp.ndarray,
         for phi in range(n):
             live = g * n + phi < T
             nm, packed = substep(m.astype(jnp.int32), sym_group[phi], phi)
-            # renorm gated on state 0 = slot 0 at every phase
-            gate = jnp.logical_and(nm[0, :] >= thr, live)
-            mins = nm.min(axis=0)
-            sub = jnp.where(gate, mins, 0)
-            nm = nm - sub[None, :]
+            # renorm gated on state 0 = slot 0 at every phase (shared
+            # with the standard scan)
+            nm, sub = jax_core._renormalise(spec, nm)
             acc = acc + jnp.where(live, sub, 0)
             m = jnp.where(live, nm, m.astype(jnp.int32)).astype(store_dt)
             words.append(packed)

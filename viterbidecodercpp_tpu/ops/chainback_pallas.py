@@ -145,11 +145,11 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
     rows_needed = total_bits + Kb
     if T < rows_needed:
         raise ValueError("decision history shorter than total_bits + K - 1")
-    if W > 128:
+    from . import jax_core
+    if jax_core.needs_big_state(spec):
         # K=15-class codes: the per-lane word select unrolls W-wide;
-        # beyond the Pallas ACS bound use the XLA scan (same fallback
-        # boundary as acs_pallas.MAX_PALLAS_STATES).
-        from . import jax_core
+        # beyond the lane-resident bound use the XLA scan (same fallback
+        # boundary as the ACS kernel).
         return jax_core.chainback_scan(spec, packed, end_state, total_bits)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -49,6 +49,16 @@ __all__ = [
 
 DECISION_WORD_BITS = 32
 
+# Above this state count the (S, B) metric vector no longer fits the
+# lane-resident kernels (Pallas VMEM / per-lane chainback selects);
+# callers route to the big-state paths (acs_scan_multi / ops.bigstate).
+MAX_LANE_STATES = 4096
+
+
+def needs_big_state(spec: "StaticSpec") -> bool:
+    """True when (K, R) exceeds the lane-resident kernel bound (K=15)."""
+    return spec.S > MAX_LANE_STATES
+
 
 class StaticSpec(NamedTuple):
     """Trace-time constants derived from (code, config).
@@ -104,20 +114,20 @@ def initial_metrics(spec: StaticSpec, batch: int,
     return m.at[starting_state & (spec.S - 1), :].set(spec.init_start)
 
 
-def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
-                    sym: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                               jnp.ndarray]:
-    """One trellis step over a batch, state-major.
+def acs_select(spec: StaticSpec, lo: jnp.ndarray, hi: jnp.ndarray,
+               bm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray, jnp.ndarray]:
+    """The bit-exactness-critical add-compare-select core, shared by
+    every backend (this scan, ops/bigstate, the Pallas kernel's
+    elementwise path mirrors it).
 
-    ``metrics``: (S, B) int32; ``sym``: (R, B) int32 soft symbols.
-    Returns (new_metrics (S, B), dec0 (H, B), dec1 (H, B)).
+    ``lo``/``hi``: predecessor metrics, ``bm``: branch metric - all
+    (H, B) int32.  Returns (new_even, new_odd, dec0, dec1) with the
+    reference's saturation/wrap and tie-break semantics
+    (x86/viterbi_decoder_sse_u16.h:106-115 saturating/tie->1;
+    viterbi_decoder_scalar.h:113-128 wrapping/tie->0).
     """
-    bt = jnp.asarray(np.asarray(spec.bt, dtype=np.int32))   # (R, H)
-    # Branch metric per half-state: sum_i |bt[i, h] - sym[i, b]| -> (H, B)
-    bm = jnp.abs(bt[:, :, None] - sym[:, None, :]).sum(axis=0)
     ibm = spec.max_error - bm
-    lo = metrics[: spec.H]
-    hi = metrics[spec.H:]
     e00 = lo + bm
     e10 = hi + ibm
     e01 = lo + ibm
@@ -140,6 +150,23 @@ def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
         dec1 = (e01 > e11).astype(jnp.int32)
     new_even = jnp.where(dec0 == 1, e10, e00)
     new_odd = jnp.where(dec1 == 1, e11, e01)
+    return new_even, new_odd, dec0, dec1
+
+
+def _butterfly_step(spec: StaticSpec, metrics: jnp.ndarray,
+                    sym: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """One trellis step over a batch, state-major.
+
+    ``metrics``: (S, B) int32; ``sym``: (R, B) int32 soft symbols.
+    Returns (new_metrics (S, B), dec0 (H, B), dec1 (H, B)).
+    """
+    bt = jnp.asarray(np.asarray(spec.bt, dtype=np.int32))   # (R, H)
+    # Branch metric per half-state: sum_i |bt[i, h] - sym[i, b]| -> (H, B)
+    bm = jnp.abs(bt[:, :, None] - sym[:, None, :]).sum(axis=0)
+    lo = metrics[: spec.H]
+    hi = metrics[spec.H:]
+    new_even, new_odd, dec0, dec1 = acs_select(spec, lo, hi, bm)
     new_metrics = jnp.stack([new_even, new_odd], axis=1).reshape(
         spec.S, -1)
     return new_metrics, dec0, dec1
