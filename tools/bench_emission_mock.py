@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Mock-measure K=15 decision-emission formats (scan side only).
+
+Formats (all keep outputs alive so nothing DCEs):
+  word   - current: per-step pack_decisions -> (T, W, B) int32 ys
+  timeu8 - per-step stack dec_slot (S,B) u8, shift-accumulate, flush a
+           (S, B) u8 word every 8 steps -> (T/8, S, B) u8 ys
+  none   - no emission (lower bound)
+"""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import bigstate, jax_core
+
+code = get_code("Cassini")
+config = get_decode_config(DecodeType.SOFT16, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 512, 280
+n = code.K - 1
+S, H, W = spec.S, spec.H, spec.W
+tables = bigstate._phase_tables(spec)
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(-127, 128, (B, T, code.R)), jnp.int32)
+m0 = jax_core.initial_metrics(spec, B)
+
+
+def make(fmt):
+    T_pad = -(-T // n) * n
+
+    @jax.jit
+    def run(m, symbols, reps):
+        sym_t = jnp.transpose(symbols, (1, 2, 0)).astype(jnp.int32)
+        sym_t = jnp.pad(sym_t, ((0, T_pad - T), (0, 0), (0, 0)))
+        sym_g = sym_t.reshape(T_pad // n, n, code.R, B)
+
+        def substep(mm, sym, phi):
+            j, btp = tables[phi]
+            btj = jnp.asarray(btp)
+            mv = mm.reshape(S >> (j + 1), 2, 1 << j, B)
+            lo = mv[:, 0].reshape(H, B)
+            hi = mv[:, 1].reshape(H, B)
+            bm = jnp.abs(btj[0][:, None] - sym[0][None, :])
+            for r in range(1, code.R):
+                bm = bm + jnp.abs(btj[r][:, None] - sym[r][None, :])
+            nl, nh, dec0, dec1 = jax_core.acs_select(spec, lo, hi, bm)
+            nm = jnp.stack([nl.reshape(S >> (j + 1), 1 << j, B),
+                            nh.reshape(S >> (j + 1), 1 << j, B)],
+                           axis=1).reshape(S, B)
+            return nm, dec0, dec1, j
+
+        def step(carry, sym_group):
+            mm, sink = carry
+            outs = []
+            wacc = jnp.zeros((S, B), jnp.uint8) if fmt == "timeu8" else None
+            for phi in range(n):
+                nm, dec0, dec1, j = substep(mm.astype(jnp.int32),
+                                            sym_group[phi], phi)
+                nm, sub = jax_core._renormalise(spec, nm)
+                mm = nm.astype(jnp.uint16)
+                sink = sink + sub.astype(jnp.int32).sum()
+                if fmt == "word":
+                    outs.append(jax_core.pack_decisions(spec, dec0, dec1))
+                elif fmt == "timeu8":
+                    ds = jnp.stack(
+                        [dec0.reshape(S >> (j + 1), 1 << j, B),
+                         dec1.reshape(S >> (j + 1), 1 << j, B)],
+                        axis=1).reshape(S, B).astype(jnp.uint8)
+                    wacc = (wacc << 1) | ds
+                    if phi % 8 == 7:
+                        outs.append(wacc)
+                        wacc = jnp.zeros((S, B), jnp.uint8)
+            if fmt == "timeu8":
+                outs.append(wacc)  # partial flush (n=14 -> 2 words/group)
+            ys = jnp.stack(outs) if outs else jnp.zeros((1, 1), jnp.int32)
+            return (mm, sink), ys
+
+        def body(i, carry):
+            m, sink = carry
+            (m2, s2), ys = jax.lax.scan(
+                step, (m.astype(jnp.uint16), sink), sym_g)
+            keep = ys.reshape(-1)[0].astype(jnp.int32) + \
+                ys.reshape(-1)[-1].astype(jnp.int32)
+            return m2.astype(jnp.int32), s2 + keep
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m, jnp.zeros((), jnp.int32)))
+    return run
+
+
+def timed(f, *a):
+    t0 = time.perf_counter()
+    jax.device_get(jax.tree_util.tree_leaves(f(*a))[-1])
+    return time.perf_counter() - t0
+
+
+for fmt in ("none", "word", "timeu8"):
+    f = make(fmt)
+    timed(f, m0, syms, 1)
+    timed(f, m0, syms, 9)
+    s = sorted((timed(f, m0, syms, 9) - timed(f, m0, syms, 1)) / 8
+               for _ in range(3))
+    dt = s[1]
+    print(f"{fmt:7s}: {dt*1e3:8.2f} ms  {B*T*code.R/dt/1e6:8.2f} Msym/s")
