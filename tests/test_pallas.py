@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from viterbidecodercpp_tpu import COMMON_CODES, DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
 from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
 from viterbidecodercpp_tpu.ops import numpy_ref as ref
 

@@ -1,10 +1,9 @@
 """Bounded-latency streaming decoder vs the full (batch) decode."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
-from viterbidecodercpp_tpu import DecodeType, ViterbiDecoder, get_code
+from viterbidecodercpp_tpu import get_code
 from viterbidecodercpp_tpu.ops import numpy_ref as ref
 from viterbidecodercpp_tpu.streaming import StreamingDecoder
 

@@ -18,7 +18,6 @@ GREEN, RED, RESET = "\033[32m", "\033[31m", "\033[0m"
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu import puncture

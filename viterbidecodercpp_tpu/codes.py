@@ -28,7 +28,7 @@ the input bit flips every output symbol - viterbi_decoder_scalar.h:85-107).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

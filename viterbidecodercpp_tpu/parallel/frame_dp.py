@@ -11,9 +11,6 @@ final scalars.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +20,6 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..codes import CodeSpec
 from ..config import DecodeType, get_decode_config
 from ..ops import jax_core
 from .mesh import make_mesh, pvary
@@ -79,7 +75,7 @@ def dryrun(n_devices: int) -> None:
     collective the framework uses.
     """
     from ..codes import get_code
-    from ..ops import encoder, numpy_ref
+    from ..ops import numpy_ref
     from . import block_sp
 
     code = get_code("Voyager")

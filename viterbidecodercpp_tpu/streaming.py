@@ -26,7 +26,6 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .codes import CodeSpec
 from .config import DecoderConfig, DecodeType, get_decode_config

@@ -17,11 +17,8 @@ Also hosts the simple integer-noise helpers of test_helpers.h:66-93.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..codes import CodeSpec
 from ..config import DecoderConfig
