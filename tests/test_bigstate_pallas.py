@@ -1,0 +1,121 @@
+"""Big-state Pallas plane kernel vs the NumPy oracle (interpret mode).
+
+Covers ops/bigstate_pallas.py: the rotated plane layout, in-place
+butterflies via lane/sublane rolls, slot-order decision packing, the
+matching traceback, and the renormalisation gate - all bit-exact vs
+ops/numpy_ref.acs_run / traceback for K=15 (the Cassini class).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import bigstate_pallas as bp
+from viterbidecodercpp_tpu.ops import jax_core
+from viterbidecodercpp_tpu.ops import numpy_ref as ref
+
+CODE = get_code("Cassini")
+
+
+def run_case(config, B=3, T=33, G=2, C=2, fast_bm=False, seed=0):
+    spec = jax_core.make_static_spec(CODE, config)
+    rng = np.random.RandomState(seed)
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T, CODE.R)).astype(np.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    m, packed, acc = bp.acs_plane_pallas(
+        spec, m0, jnp.asarray(syms), frames_per_group=G,
+        chunks_per_block=C, fast_bm=fast_bm, interpret=True)
+    bits = bp.chainback_plane(spec, packed, jnp.zeros(B, jnp.int32),
+                              T - (CODE.K - 1))
+    m, acc, bits = np.asarray(m), np.asarray(acc), np.asarray(bits)
+    for b in range(B):
+        mr, dr, ar = ref.acs_run(CODE, config, syms[b].reshape(-1))
+        np.testing.assert_array_equal(mr, m[:, b])
+        assert ar == acc[b]
+        br = ref.traceback(CODE, dr, T - (CODE.K - 1))
+        np.testing.assert_array_equal(br, bits[b])
+
+
+@pytest.mark.parametrize("dt", [DecodeType.SOFT16, DecodeType.SOFT8,
+                                DecodeType.HARD8])
+def test_matches_oracle(dt):
+    # SOFT8/HARD8 exercise the renormalisation path heavily (u8 metrics)
+    run_case(get_decode_config(dt, CODE.R))
+
+
+def test_wrapping_arith():
+    config = dataclasses.replace(
+        get_decode_config(DecodeType.SOFT16, CODE.R), arith="wrapping")
+    run_case(config)
+
+
+def test_fast_bm_and_group_padding():
+    # B=3 with G=2 pads a dead frame; fast_bm uses the sign-plane path
+    run_case(get_decode_config(DecodeType.SOFT16, CODE.R), B=3, G=2,
+             fast_bm=True, seed=1)
+
+
+def test_time_padding_and_chunking():
+    # T=19 < one chunk period (14*C); exercises the live-step masking
+    run_case(get_decode_config(DecodeType.SOFT16, CODE.R), B=1, T=19,
+             G=1, C=1, seed=2)
+
+
+def test_roundtrip_noiseless():
+    # Noiseless encode -> decode must be exact (run_tests.cpp oracle)
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    spec = jax_core.make_static_spec(CODE, config)
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 256, 4, dtype=np.uint8)
+    syms = ref.encode_bytes(CODE, data, config.soft_decision_high,
+                            config.soft_decision_low)
+    T = syms.size // CODE.R
+    m0 = jax_core.initial_metrics(spec, 1)
+    bits, m, _, acc = bp.decode_big_pallas(
+        spec, m0, jnp.asarray(syms.reshape(1, T, CODE.R)),
+        jnp.zeros(1, jnp.int32), 32, frames_per_group=1,
+        chunks_per_block=1, interpret=True)
+    np.testing.assert_array_equal(ref.bytes_to_bits(data),
+                                  np.asarray(bits)[0])
+
+
+def test_decoder_plane_backend_incremental():
+    """ViterbiDecoder with backend='pallas' routes K=15 through the plane
+    kernel; chunked update + chainback must match the oracle (interpret
+    mode on CPU)."""
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    dec = ViterbiDecoder(CODE, config, backend="pallas")
+    assert dec._plane
+    rng = np.random.RandomState(4)
+    B, total_bits = 2, 24
+    T = total_bits + CODE.K - 1
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T * CODE.R)).astype(np.int32)
+    dec.set_traceback_length(total_bits)
+    st = dec.reset(B)
+    # two chunks exercise the incremental carry (multiples of R)
+    cut = (T // 2) * CODE.R
+    st = dec.update(st, syms[:, :cut])
+    st = dec.update(st, syms[:, cut:])
+    bits = np.asarray(dec.chainback(st, total_bits))
+    err = np.asarray(dec.get_error(st))
+    for b in range(B):
+        rb, re, _ = ref.viterbi_decode(CODE, config, syms[b], total_bits)
+        np.testing.assert_array_equal(rb, bits[b])
+        assert re == err[b]
+
+
+def test_supports_gate():
+    spec = jax_core.make_static_spec(
+        CODE, get_decode_config(DecodeType.SOFT16, CODE.R))
+    assert bp.supports(spec)
+    small = jax_core.make_static_spec(
+        get_code("Voyager"), get_decode_config(DecodeType.SOFT16, 2))
+    assert not bp.supports(small)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Benchmark / verify the big-state Pallas plane kernel (K=15 Cassini).
+
+--check : bit-exactness vs the XLA scan on the real TPU (small shapes)
+--sweep : marginal-timing sweep over (G, chunks, fast_bm) variants
+
+Timing protocol: carry-chained reps inside one jit, device_get sink,
+median marginal between two rep counts (PERF.md methodology).  The
+decision-emission DCE trap (cassini-emission-bound) does not apply to
+the Pallas path - packing happens inside the opaque pallas_call - but
+the sink still consumes acc so the call itself cannot be elided.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import jax_core, bigstate_pallas as bp
+
+code = get_code("Cassini")
+
+
+def spec_for(mode: str):
+    config = get_decode_config(DecodeType(mode), code.R)
+    return jax_core.make_static_spec(code, config), config
+
+
+def make_run(spec, G, C, fast_bm):
+    @jax.jit
+    def run(m, syms, reps):
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = bp.acs_plane_pallas(
+                spec, m, syms, frames_per_group=G, chunks_per_block=C,
+                fast_bm=fast_bm, interpret=False)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m, jnp.zeros((), jnp.int32)))
+    return run
+
+
+def timed(f, m0, syms, reps):
+    t0 = time.perf_counter()
+    out = f(m0, syms, jnp.asarray(reps, jnp.int32))
+    jax.device_get(out[1])
+    return time.perf_counter() - t0
+
+
+def marginal(f, m0, syms, n1=2, n2=8, trials=5):
+    timed(f, m0, syms, 1)   # compile + warm
+    vals = []
+    for _ in range(trials):
+        t1 = timed(f, m0, syms, n1)
+        t2 = timed(f, m0, syms, n2)
+        vals.append((t2 - t1) / (n2 - n1))
+    return float(np.median(vals))
+
+
+def check(mode: str):
+    spec, config = spec_for(mode)
+    rng = np.random.RandomState(0)
+    B, T = 5, 61
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    mx, px, ax = jax_core.acs_scan(spec, m0, syms)
+    bits_x = jax_core.chainback_scan(spec, px, jnp.zeros(B, jnp.int32),
+                                     T - (code.K - 1))
+    for G, C, fb in ((1, 2, False), (4, 4, False), (2, 2, True)):
+        m, p, a = bp.acs_plane_pallas(spec, m0, syms, frames_per_group=G,
+                                      chunks_per_block=C, fast_bm=fb,
+                                      interpret=False)
+        bits = bp.chainback_plane(spec, p, jnp.zeros(B, jnp.int32),
+                                  T - (code.K - 1))
+        ok_m = np.array_equal(np.asarray(m), np.asarray(mx))
+        ok_a = np.array_equal(np.asarray(a), np.asarray(ax))
+        ok_b = np.array_equal(np.asarray(bits), np.asarray(bits_x))
+        print(f"{mode} G={G} C={C} fast_bm={fb}: metrics={ok_m} "
+              f"acc={ok_a} bits={ok_b}")
+        if not (ok_m and ok_a and ok_b):
+            raise SystemExit(1)
+
+
+def sweep(mode: str, B: int, T: int, variants):
+    spec, config = spec_for(mode)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    for G, C, fb in variants:
+        f = make_run(spec, G, C, fb)
+        t0 = time.perf_counter()
+        dt = marginal(f, m0, syms)
+        rate = B * T * code.R / dt
+        print(f"{mode} B={B} T={T} G={G} C={C} fast_bm={int(fb)}: "
+              f"{dt*1e3:8.2f} ms/iter  {rate/1e6:8.2f} Msym/s  "
+              f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--mode", default="SOFT16")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--variants", default="1,4,0;4,4,0")
+    args = ap.parse_args()
+    if args.check:
+        check(args.mode)
+    else:
+        variants = []
+        for v in args.variants.split(";"):
+            g, c, fb = v.split(",")
+            variants.append((int(g), int(c), bool(int(fb))))
+        sweep(args.mode, args.batch, args.steps, variants)

@@ -109,6 +109,14 @@ class ViterbiDecoder:
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        # Huge state counts (K=15 Cassini class) route to the plane
+        # kernel (ops/bigstate_pallas.py): decision rows keep the
+        # (T, W, B) DecoderState shape but plane bit-order, inverted by
+        # the matching chainback below.
+        self._plane = False
+        if backend == "pallas" and jax_core.needs_big_state(self.spec):
+            from .ops import bigstate_pallas
+            self._plane = bigstate_pallas.supports(self.spec)
         self._traceback_length = int(traceback_length)
 
     # -- capacity ---------------------------------------------------------
@@ -170,17 +178,32 @@ class ViterbiDecoder:
                     f"{nbits} new > capacity {state.decisions.shape[0]} "
                     "(set_traceback_length before reset, or chainback "
                     "and reset between blocks)")
-        new = self._update_jit(self.spec, self.backend, state,
+        backend = "plane" if self._plane else self.backend
+        phase0 = 0
+        if self._plane:
+            # The plane kernel's layout-rotation schedule is keyed to the
+            # global trellis step; chunked updates must resume at the
+            # carried phase (a static kernel parameter).
+            if cursor is None:
+                raise ValueError(
+                    "plane-backend update needs a host-known bit cursor "
+                    "(call update outside jit, or use backend='xla')")
+            phase0 = cursor % (self.code.K - 1)
+        new = self._update_jit(self.spec, backend, phase0, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
             new._host_cursor = cursor + nbits
         return new
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-    def _update_jit(spec, backend, state: DecoderState,
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+    def _update_jit(spec, backend, phase0, state: DecoderState,
                     symbols: jnp.ndarray) -> DecoderState:
-        if backend == "pallas":
+        if backend == "plane":
+            from .ops import bigstate_pallas
+            metrics, packed, acc = bigstate_pallas.acs_plane_update(
+                spec, state.metrics, symbols, phase0=phase0)
+        elif backend == "pallas":
             from .ops import acs_pallas
             metrics, packed, acc = acs_pallas.acs_pallas(spec, state.metrics, symbols)
         else:
@@ -208,6 +231,10 @@ class ViterbiDecoder:
             raise ValueError("total_bits exceeds traceback_length")
         B = state.batch
         ends = jnp.full((B,), end_state, jnp.int32)
+        if self._plane:
+            from .ops import bigstate_pallas
+            return bigstate_pallas.chainback_plane_words(
+                self.spec, state.decisions, ends, total_bits)
         if self.backend == "pallas":
             from .ops import chainback_pallas
             return chainback_pallas.chainback_pallas(
@@ -234,7 +261,7 @@ class ViterbiDecoder:
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]
-        if jax_core.needs_big_state(self.spec):
+        if jax_core.needs_big_state(self.spec) and not self._plane:
             from .ops import bigstate
 
             m0 = jax_core.initial_metrics(self.spec, B)

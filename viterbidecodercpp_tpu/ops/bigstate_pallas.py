@@ -1,0 +1,473 @@
+"""Pallas TPU kernel for huge-state-count codes (K=15 Cassini class).
+
+The lane-resident kernel (ops/acs_pallas.py) keeps the (S, B) metric
+tensor in VMEM with frames on lanes; at S = 2^14 that tensor alone is
+8 MiB per copy and no longer fits.  The XLA fallback (ops/bigstate.py)
+is bound by *decision emission* - the per-step packing and the copies
+XLA inserts around it cap every variant at ~9.5 Msym/s end-to-end
+(PERF.md ablations).
+
+This kernel removes both limits with a TPU-native layout:
+
+  * **One frame = one VMEM plane.**  The 2^(K-1) states spread over a
+    (ROWS, 128) sublane x lane plane (ROWS = S/128); the metric plane
+    stays resident in VMEM across the whole call, so the HBM metric
+    round-trip of the XLA scan disappears entirely.
+  * **Rotated in-place butterfly** (same invariant as ops/bigstate.py):
+    logical state s sits at physical slot rotr_n(s, t) after t steps
+    (n = K-1).  Step t pairs slots differing in bit j = (n-1-t) mod n,
+    and the butterfly writes IN PLACE (new state 2h lands on the lo
+    slot, 2h+1 on the hi slot) - the interleave shuffle that dominates
+    the flat layout vanishes.  For j >= 7 the pair axis is a *sublane*
+    roll, for j < 7 a *lane* roll: the SIMD analogue of the reference's
+    unpacklo/hi lane repairs (x86/viterbi_decoder_sse_u16.h:119-131),
+    but over a 2-D plane so every pairing distance is a single cyclic
+    rotate (pltpu.roll).
+  * **In-kernel decision emission**: one decision bit per *slot*
+    (bit for the new state that landed there), packed 32 sublane rows
+    per int32 word straight in registers and streamed out through the
+    pipelined output DMA - no XLA-inserted copies.  The packed format
+    is slot-order; :func:`chainback_plane` inverts it with a few bit
+    ops per row (decision for new state s' at step t lives at slot
+    q = rotr_n(s', t+1), word row q>>12, bit (q>>7)&31, lane q&127
+    for ROWS = 128).
+
+Semantics are bit-exact vs ops/numpy_ref.acs_run (both arithmetic
+modes, renorm gated on the state-0 metric - slot 0 at every phase);
+validated in tests/test_bigstate_pallas.py and by the reference-binary
+probe (tools/verify_vs_reference.py).
+
+Reference parity: replaces C9-C15 (SURVEY.md section 2.1) for K >= 14;
+the decision-bit store (C6, viterbi_decoder_core.h:49-83) keeps 1 bit
+per state per step, in plane order instead of state order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import jax_core
+from .jax_core import StaticSpec
+
+__all__ = ["supports", "acs_plane_pallas", "acs_plane_update",
+           "chainback_plane", "chainback_plane_words", "decode_big_pallas"]
+
+# Production defaults, measured on v5e (tools/bench_plane.py, Cassini
+# SOFT16 B=256 T=1024): G=1 8.3, G=4 20.6, G=8 25.6 Msym/s exact path;
+# fast_bm adds ~25% (32.9 at G=8 C=2) - frame-level ILP is the lever.
+DEFAULT_FRAMES_PER_GROUP = 8
+DEFAULT_CHUNKS_PER_BLOCK = 2
+
+COLS = 128          # lanes per plane (fixed: the VPU lane width)
+LANE_BITS = 7
+
+
+def supports(spec: StaticSpec) -> bool:
+    """True when this kernel handles the code: big-state, a whole number
+    of 128-lane rows, and chunk slabs that stay 8-sublane aligned."""
+    if spec.S <= jax_core.MAX_LANE_STATES or spec.S % COLS:
+        return False
+    n = spec.K - 1
+    wr = (spec.S // COLS) // 32
+    return wr >= 1 and (n * wr) % 8 == 0
+
+
+def _rotr(x: np.ndarray, k: int, n: int) -> np.ndarray:
+    k %= n
+    mask = (1 << n) - 1
+    return ((x >> k) | (x << (n - k))) & mask
+
+
+def _phase_bt_planes(spec: StaticSpec, signs: bool) -> np.ndarray:
+    """(n, R, ROWS, COLS) int32 per-phase expanded branch tables.
+
+    Entry [phi, r, p] is the branch-table value (or its sign when
+    ``signs``) of the butterfly *pair* that slot p belongs to at phase
+    phi: pair lo slot p_lo = p with bit j cleared, logical half-state
+    h = rotl_n(p_lo, phi) (< H because bit j rotates to the top bit).
+    """
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    bt = np.asarray(spec.bt, dtype=np.int32)          # (R, H)
+    pos = np.arange(spec.S).reshape(ROWS, COLS)
+    out = np.zeros((n, spec.R, ROWS, COLS), np.int32)
+    for phi in range(n):
+        j = (n - 1 - phi) % n
+        p_lo = pos & ~(1 << j)
+        h = _rotr(p_lo, -phi, n)                      # rotl(p_lo, phi)
+        assert h.max() < spec.H
+        out[phi] = bt[:, h]
+    if signs:
+        amp = int(np.abs(bt).max())
+        out = np.where(out > 0, 1, -1).astype(np.int32)
+        return out, amp
+    return out
+
+
+def _symmetric_amplitude(spec: StaticSpec) -> Optional[int]:
+    bt = np.asarray(spec.bt)
+    amp = int(bt.max())
+    if amp > 0 and int(bt.min()) == -amp and np.isin(bt, (-amp, amp)).all():
+        return amp
+    return None
+
+
+def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
+                 fast_bm: bool, amp: Optional[int], interpret: bool,
+                 phase0: int = 0):
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    R = spec.R
+    TB = chunks * n
+    cap = spec.metric_max
+    saturating = spec.saturating
+    thr = spec.renorm_threshold
+    max_error = spec.max_error
+    slab_rows = n * WRr
+
+    def roll(x, shift, axis):
+        shift %= x.shape[axis]
+        if interpret:
+            return jnp.roll(x, shift, axis)
+        return pltpu.roll(x, shift, axis)
+
+    def kernel(bt_ref, init_ref, sym_ref, m_ref, p_ref, acc_ref):
+        tb = pl.program_id(1)
+        # packing constants: 32 sublane rows -> 1 int32 word row
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (WRr, 32, COLS), 1)
+
+        @pl.when(tb == 0)
+        def _init():
+            m_ref[...] = init_ref[...]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def chunk_body(c, _):
+            base = tb * TB + c * n
+            words = [[] for _ in range(G)]
+            for idx in range(n):
+                # global trellis phase: the carry may enter mid-stream
+                # (chunked update) at layout age phase0
+                phi = (phase0 + idx) % n
+                j = (n - 1 - phi) % n
+                if j < LANE_BITS:
+                    axis, dist = 1, 1 << j
+                    lane_ids = jax.lax.broadcasted_iota(
+                        jnp.int32, (ROWS, COLS), 1)
+                    maskj = (lane_ids & dist) != 0
+                else:
+                    axis, dist = 0, 1 << (j - LANE_BITS)
+                    row_ids = jax.lax.broadcasted_iota(
+                        jnp.int32, (ROWS, COLS), 0)
+                    maskj = (row_ids & dist) != 0
+                live = base + idx < T
+                for g in range(G):
+                    m = m_ref[0, g]                       # (ROWS, COLS)
+                    bv = roll(m, -dist, axis)             # value at p + d
+                    cv = roll(m, dist, axis)              # value at p - d
+                    lo = jnp.where(maskj, cv, m)
+                    hi = jnp.where(maskj, m, bv)
+                    sidx = (c * n + idx) * R
+                    if fast_bm:
+                        # bt = +-A and symbols in [-A, A]:
+                        # bm = R*A - sum_r sign_r * sym_r (exact in range)
+                        d = bt_ref[phi, 0] * sym_ref[0, 0, sidx, g]
+                        for r in range(1, R):
+                            d = d + bt_ref[phi, r] * sym_ref[0, 0, sidx + r, g]
+                        bm = R * amp - d
+                    else:
+                        bm = jnp.abs(bt_ref[phi, 0] - sym_ref[0, 0, sidx, g])
+                        for r in range(1, R):
+                            bm = bm + jnp.abs(bt_ref[phi, r] -
+                                              sym_ref[0, 0, sidx + r, g])
+                    ibm = max_error - bm
+                    e00 = lo + bm
+                    e10 = hi + ibm
+                    e01 = lo + ibm
+                    e11 = hi + bm
+                    if saturating:
+                        e00 = jnp.minimum(e00, cap)
+                        e10 = jnp.minimum(e10, cap)
+                        e01 = jnp.minimum(e01, cap)
+                        e11 = jnp.minimum(e11, cap)
+                        dec0 = e10 <= e00     # SIMD tie -> predecessor 1
+                        dec1 = e11 <= e01
+                    else:
+                        e00 = jnp.bitwise_and(e00, cap)
+                        e10 = jnp.bitwise_and(e10, cap)
+                        e01 = jnp.bitwise_and(e01, cap)
+                        e11 = jnp.bitwise_and(e11, cap)
+                        dec0 = e00 > e10      # scalar tie -> predecessor 0
+                        dec1 = e01 > e11
+                    nm = jnp.where(
+                        maskj,
+                        jnp.where(dec1, e11, e01),        # odd lands on hi
+                        jnp.where(dec0, e10, e00))        # even lands on lo
+                    dbit = jnp.where(maskj, dec1.astype(jnp.int32),
+                                     dec0.astype(jnp.int32))
+                    # renormalise: state 0 sits at slot (0, 0) at every
+                    # phase; gate on it, subtract the plane min
+                    # (viterbi_decoder_scalar.h:48, 139-153)
+                    # Global min without a (1,1) intermediate (Mosaic has
+                    # no both-axes broadcast): sublane reduce, then a
+                    # log-step roll all-reduce across lanes.
+                    mrow = jnp.min(nm, axis=0, keepdims=True)    # (1, COLS)
+                    k = 1
+                    while k < COLS:
+                        mrow = jnp.minimum(mrow, roll(mrow, k, 1))
+                        k <<= 1
+                    gate_row = jnp.logical_and(
+                        jnp.broadcast_to(nm[0:1, 0:1], (1, COLS)) >= thr,
+                        live)
+                    sub_row = jnp.where(gate_row, mrow, 0)       # (1, COLS)
+                    m_ref[0, g] = jnp.where(live, nm - sub_row, m)
+                    acc_ref[0, g:g + 1, :] = acc_ref[0, g:g + 1, :] + sub_row
+                    words[g].append(
+                        (dbit.reshape(WRr, 32, COLS) << shifts).sum(axis=1))
+            for g in range(G):
+                slab = jnp.concatenate(words[g], axis=0)  # (n*WRr, COLS)
+                off = pl.multiple_of(c * slab_rows, slab_rows)
+                p_ref[0, g, pl.ds(off, slab_rows), :] = slab
+            return 0
+
+        jax.lax.fori_loop(0, chunks, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
+                      G: int, chunks: int, T: int, fast_bm: bool,
+                      interpret: bool, phase0: int):
+    """Padded launch.  init: (F, G, ROWS, COLS) i32 plane metrics;
+    sym: (F, NTB, TB*R, G) i32.  Returns (m (F, G, ROWS, COLS),
+    packed (F, G, NTB*TB*WRr, COLS), acc (F, G, COLS))."""
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    TB = chunks * n
+    F, NTB = sym.shape[0], sym.shape[1]
+    amp = _symmetric_amplitude(spec)
+    if fast_bm and amp is None:
+        fast_bm = False
+    if fast_bm:
+        btp, _ = _phase_bt_planes(spec, signs=True)
+    else:
+        btp = _phase_bt_planes(spec, signs=False)
+
+    kernel = _make_kernel(spec, G, chunks, T, fast_bm, amp, interpret,
+                          phase0)
+    grid_spec = pl.GridSpec(
+        grid=(F, NTB),
+        in_specs=[
+            pl.BlockSpec(btp.shape, lambda f, tb: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, ROWS, COLS), lambda f, tb: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TB * spec.R, G), lambda f, tb: (f, tb, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, G, ROWS, COLS), lambda f, tb: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TB * WRr, COLS), lambda f, tb: (f, 0, tb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, COLS), lambda f, tb: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((F, G, ROWS, COLS), jnp.int32),
+        jax.ShapeDtypeStruct((F, G, NTB * TB * WRr, COLS), jnp.int32),
+        jax.ShapeDtypeStruct((F, G, COLS), jnp.int32),
+    )
+    steps = NTB * TB
+    cost = pl.CostEstimate(
+        flops=F * G * steps * spec.S * (3 * spec.R // 2 + 14),
+        bytes_accessed=sym.size * 4 + F * G * steps * WRr * COLS * 4,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(btp), init, sym)
+
+
+def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
+                     symbols: jnp.ndarray, *,
+                     frames_per_group: int = DEFAULT_FRAMES_PER_GROUP,
+                     chunks_per_block: int = DEFAULT_CHUNKS_PER_BLOCK,
+                     fast_bm: Optional[bool] = None,
+                     interpret: Optional[bool] = None,
+                     phase0: int = 0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Big-state ACS: metrics (S, B) i32, symbols (B, T, R) i32 ->
+    (metrics (S, B) logical order, packed (B, T, WRr, COLS) slot-order
+    decision words, acc (B,)).
+
+    ``phase0``: global trellis-step count already consumed by this carry,
+    mod K-1 (0 for a fresh decode).  Chunked updates must thread it so
+    the layout rotation schedule - and hence the slot each decision bit
+    lands in - stays aligned with the *global* step index that the
+    chainback assumes (rot = (row + 1) mod n).
+
+    Consume ``packed`` with :func:`chainback_plane` (the bit layout is
+    plane/slot-order, not the ViterbiDecisionBits state order).
+
+    ``fast_bm`` uses the offset-binary identity bm = R*A - sum sign*sym
+    (viterbi_decoder_scalar.h:97), valid when the branch table is
+    {-A,+A}-valued and |sym| <= A.  The default (None = auto) enables it
+    for symmetric tables and *clamps symbols to [-A, A]* first - the
+    same clamp the reference harness applies before every decode
+    (helpers/test_helpers.h:88-93), so results are bit-exact for every
+    in-contract input.  Pass False for the unconditional |bt - sym|
+    path (exact for arbitrary out-of-range symbols, ~25% slower).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    B, T, R = symbols.shape
+    G = max(1, min(frames_per_group, B))   # don't pad tiny batches 8-wide
+    assert R == spec.R and supports(spec)
+    TB = chunks_per_block * n
+    B_pad = -(-B // G) * G
+    F = B_pad // G
+    NTB = max(1, -(-T // TB))
+    T_pad = NTB * TB
+
+    amp = _symmetric_amplitude(spec)
+    if fast_bm is None:
+        fast_bm = amp is not None
+    symbols = symbols.astype(jnp.int32)
+    if fast_bm and amp is not None:
+        symbols = jnp.clip(symbols, -amp, amp)
+
+    sym = jnp.pad(symbols, ((0, B_pad - B), (0, T_pad - T), (0, 0)))
+    # (B_pad, T_pad, R) -> (F, NTB, TB*R, G)
+    sym = sym.reshape(F, G, NTB, TB, R).transpose(0, 2, 3, 4, 1)
+    sym = sym.reshape(F, NTB, TB * R, G)
+
+    phase0 = int(phase0) % n
+    init = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
+    init = init.T                              # (B_pad, S) logical order
+    if phase0:
+        # entry layout at age phase0: slot p holds state rotl(p, phase0)
+        perm_in = jnp.asarray(_rotr(np.arange(spec.S), -phase0, n))
+        init = jnp.take(init, perm_in, axis=1)
+    init = init.reshape(F, G, ROWS, COLS)
+
+    m, packed, acc = _acs_plane_padded(spec, init, sym, G,
+                                       chunks_per_block, T,
+                                       bool(fast_bm), bool(interpret),
+                                       phase0)
+
+    # back to logical state order: logical[s] = plane[rotr(s, age)]
+    perm = jnp.asarray(_rotr(np.arange(spec.S), (phase0 + T) % n, n))
+    m_flat = m.reshape(B_pad, spec.S)[:B]
+    m_logical = jnp.take(m_flat, perm, axis=1).T
+    packed = packed.reshape(B_pad, T_pad, WRr, COLS)[:B, :T]
+    return m_logical, packed, acc.reshape(B_pad, COLS)[:B, 0]
+
+
+def acs_plane_update(spec: StaticSpec, metrics: jnp.ndarray,
+                     symbols: jnp.ndarray, **kw
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`acs_plane_pallas` with packed rows in the decoder-state
+    layout (T, W, B): slot q lives at linear word index
+    w = (q >> 12) * COLS + (q & 127), bit (q >> 7) & 31 (plane
+    bit-order, NOT the ViterbiDecisionBits state order - pair with
+    :func:`chainback_plane_words`).
+
+    This is the incremental-update integration point: the (T, W, B)
+    shape matches ``DecoderState.decisions`` so chunked update /
+    checkpoint / streaming all work unchanged; only the bit order inside
+    a row differs, which the matching chainback inverts.
+    """
+    m, packed, acc = acs_plane_pallas(spec, metrics, symbols, **kw)
+    B, T = packed.shape[0], packed.shape[1]
+    words = packed.transpose(1, 2, 3, 0).reshape(T, spec.W, B)
+    return m, words, acc
+
+
+def _chainback_steps(spec: StaticSpec, rows: jnp.ndarray,
+                     end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
+    """Shared slot-order traceback walk.
+
+    rows: (total_bits, WRr, COLS, B) decision words, time-major (row i =
+    global trellis step n + i).  The decision for new state s' written at
+    step t sits at slot q = rotr_n(s', t+1): word row (q >> 7) >> 5, bit
+    (q >> 7) & 31, lane q & 127.  Walk as viterbi_decoder_core.h:223-235.
+    """
+    n = spec.K - 1
+    WRr = (spec.S // COLS) // 32
+    mask = (1 << n) - 1
+    rots = ((np.arange(total_bits) + 1) % n).astype(np.int32)
+    iota_w = jnp.arange(WRr, dtype=jnp.int32)[:, None, None]
+    iota_c = jnp.arange(COLS, dtype=jnp.int32)[None, :, None]
+
+    def step(state, xs):
+        words, rot = xs                       # (WRr, COLS, B), ()
+        q = ((state >> rot) | (state << (n - rot))) & mask   # rotr(s', t+1)
+        qrow = q >> LANE_BITS
+        sel = jnp.logical_and(iota_w == (qrow >> 5)[None, None, :],
+                              iota_c == (q & (COLS - 1))[None, None, :])
+        word = jnp.where(sel, words, 0).sum(axis=(0, 1))
+        d = (word >> (qrow & 31)) & 1
+        state = (state >> 1) | (d << (n - 1))
+        return state, d.astype(jnp.uint8)
+
+    # newest -> oldest walk without materialising reversed copies
+    _, bits = jax.lax.scan(step, end_state.astype(jnp.int32),
+                           (rows, jnp.asarray(rots)), reverse=True)
+    return jnp.swapaxes(bits, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
+                    end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
+    """Traceback over (B, T, WRr, COLS) slot-order packed rows
+    (acs_plane_pallas output), T >= total_bits + K - 1."""
+    n = spec.K - 1
+    rows = packed[:, n:n + total_bits]        # (B, bits, WRr, COLS)
+    rows = jnp.transpose(rows, (1, 2, 3, 0))  # (bits, WRr, COLS, B)
+    return _chainback_steps(spec, rows, end_state, total_bits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def chainback_plane_words(spec: StaticSpec, words: jnp.ndarray,
+                          end_state: jnp.ndarray,
+                          total_bits: int) -> jnp.ndarray:
+    """Traceback over (T, W, B) plane-bit-order rows (acs_plane_update
+    output / ``DecoderState.decisions`` of a plane-backend decoder)."""
+    n = spec.K - 1
+    WRr = (spec.S // COLS) // 32
+    rows = words[n:n + total_bits]
+    rows = rows.reshape(total_bits, WRr, COLS, -1)
+    return _chainback_steps(spec, rows, end_state, total_bits)
+
+
+def decode_big_pallas(spec: StaticSpec, metrics: jnp.ndarray,
+                      symbols: jnp.ndarray, end_state: jnp.ndarray,
+                      total_bits: int, **kw
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray]:
+    """One-shot big-state decode on the Pallas plane path.
+
+    Same contract as ops/bigstate.decode_big: returns (bits
+    (B, total_bits) uint8, final metrics (S, B) logical order, packed
+    (slot order), acc (B,))."""
+    m, packed, acc = acs_plane_pallas(spec, metrics, symbols, **kw)
+    bits = chainback_plane(spec, packed, end_state, total_bits)
+    return bits, m, packed, acc
