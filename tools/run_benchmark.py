@@ -35,11 +35,13 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     import jax
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
-    from viterbidecodercpp_tpu.ops import (acs_pallas, chainback_pallas,
-                                           jax_core)
+    from viterbidecodercpp_tpu.ops import (acs_pallas, bigstate_pallas,
+                                           chainback_pallas, jax_core)
 
     config = vt.get_decode_config(decode_type, code.R)
     spec = jax_core.make_static_spec(code, config)
+    plane = (backend == "PALLAS" and jax_core.needs_big_state(spec)
+             and bigstate_pallas.supports(spec))
     total_bits = nbytes * 8
     T = total_bits + code.K - 1
     rng = np.random.RandomState(0)
@@ -53,15 +55,19 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
 
     def acs(m, s):
         # PALLAS = the production incremental path (ViterbiDecoder
-        # update): the Pallas kernel, falling back internally to the
-        # fused compact XLA scan for S > 4096.  (The one-shot decode()
-        # additionally has ops/bigstate.py; end-to-end K=15 rates are
-        # equal within noise - PERF.md.)
+        # update): the lane-resident Pallas kernel, or for S > 4096 the
+        # plane kernel (ops/bigstate_pallas.py) including its (T, W, B)
+        # row rearrangement - exactly what decoder.update runs.
+        if plane:
+            return bigstate_pallas.acs_plane_update(spec, m, s)
         if use_pallas:
             return acs_pallas.acs_pallas(spec, m, s)
         return jax_core.acs_scan(spec, m, s)
 
     def cback(p, e):
+        if plane:
+            return bigstate_pallas.chainback_plane_words(spec, p, e,
+                                                         total_bits)
         if use_pallas:
             return chainback_pallas.chainback_pallas(spec, p, e, total_bits)
         return jax_core.chainback_scan(spec, p, e, total_bits)

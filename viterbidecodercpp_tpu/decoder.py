@@ -255,9 +255,10 @@ class ViterbiDecoder:
 
         Returns (bits (B, total_bits), final_error (B,), accumulated (B,)).
 
-        For huge state counts (S > 4096, e.g. K=15 Cassini) the one-shot
-        call uses the rotated-layout path (ops/bigstate.py), ~2x the
-        chunked update path; results are bit-identical.
+        For huge state counts (S > 4096, e.g. K=15 Cassini) the pallas
+        backend runs the plane kernel (ops/bigstate_pallas.py, ~3.5x the
+        XLA path); the xla backend uses the rotated-layout scan
+        (ops/bigstate.py).  Results are bit-identical either way.
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]

@@ -130,7 +130,8 @@ def _pack_matrix(spec: StaticSpec) -> np.ndarray:
 
 def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                  mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
-                 amp: Optional[int], pair_io: bool = False):
+                 amp: Optional[int], pair_io: bool = False,
+                 lane_groups: int = 1):
     H, S, W, R = spec.H, spec.S, spec.W, spec.R
     cap = spec.metric_max
     saturating = spec.saturating
@@ -138,6 +139,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     RA = (R * amp) if amp is not None else None
     CW = CHUNK * W
     num_chunks = time_block // CHUNK
+    NG = lane_groups
 
     def kernel(*refs):
         it = iter(refs)
@@ -203,7 +205,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
             nm = jnp.stack([new_even, new_odd], axis=1).reshape(S, -1)
             return nm, dec0, dec1
 
-        def commit(nm, live):
+        def commit(nm, live, gsl):
             """Renormalise (gated on the state-0 metric,
             viterbi_decoder_scalar.h:48) and write the carry; steps past
             the stream end (live=False) leave state untouched.  The
@@ -220,19 +222,19 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                 def _renorm():
                     mins = jnp.min(nm, axis=0, keepdims=True)
                     sub = jnp.where(gate, mins, 0)
-                    metrics_ref[:] = nm - sub
-                    acc_ref[:] = acc_ref[:] + sub
+                    metrics_ref[:, gsl] = nm - sub
+                    acc_ref[:, gsl] = acc_ref[:, gsl] + sub
 
                 @pl.when(jnp.logical_and(live, jnp.logical_not(need)))
                 def _plain():
-                    metrics_ref[:] = nm
+                    metrics_ref[:, gsl] = nm
             else:
                 @pl.when(live)
                 def _always():
                     mins = jnp.min(nm, axis=0, keepdims=True)
                     sub = jnp.where(gate, mins, 0)
-                    metrics_ref[:] = nm - sub
-                    acc_ref[:] = acc_ref[:] + sub
+                    metrics_ref[:, gsl] = nm - sub
+                    acc_ref[:, gsl] = acc_ref[:, gsl] + sub
 
         def chunk_body(c, _):
             sym_off = pl.multiple_of(c * (CHUNK * R), CHUNK * R)
@@ -248,55 +250,76 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
             # c = dec0 + 2*dec1 tensor for one pack matmul per chunk; the
             # elementwise path packs per step so raw decisions never
             # accumulate (for H = 128+ they would dominate VMEM).
-            rows = []
+            rows = [[] for _ in range(NG)]
 
-            def emit(dec0, dec1):
+            def emit(gi, dec0, dec1):
                 if mxu_pack:
-                    rows.append(dec0.astype(jnp.float32) +
-                                2.0 * dec1.astype(jnp.float32))
+                    rows[gi].append(dec0.astype(jnp.float32) +
+                                    2.0 * dec1.astype(jnp.float32))
                 else:
-                    rows.append(_pack_words(spec, dec0.astype(jnp.int32),
-                                            dec1.astype(jnp.int32)))
+                    rows[gi].append(_pack_words(spec, dec0.astype(jnp.int32),
+                                                dec1.astype(jnp.int32)))
 
-            def arg_for(t):
+            def arg_for(t, gsl):
                 if mxu_bm:
-                    return d_all[t * H:(t + 1) * H, :]
-                return [syms[t * R + i:t * R + i + 1, :] for i in range(R)]
+                    return d_all[t * H:(t + 1) * H, gsl]
+                return [syms[t * R + i:t * R + i + 1, gsl] for i in range(R)]
 
+            full = slice(None)
             if pair_io:
                 # one metrics VMEM round-trip per pair of steps
+                # (ablation arm; lane_groups forced to 1)
                 for t in range(0, CHUNK, 2):
                     m = metrics_ref[:]
                     acc_l = None
                     for u in (t, t + 1):
-                        nm, dec0, dec1 = acs_core(m, arg_for(u))
+                        nm, dec0, dec1 = acs_core(m, arg_for(u, full))
                         live = gbase + u < total_steps
                         gate = jnp.logical_and(nm[0:1, :] >= thr, live)
                         mins = jnp.min(nm, axis=0, keepdims=True)
                         sub = jnp.where(gate, mins, 0)
                         m = jnp.where(live, nm - sub, m)
                         acc_l = sub if acc_l is None else acc_l + sub
-                        emit(dec0, dec1)
+                        emit(0, dec0, dec1)
                     metrics_ref[:] = m
                     acc_ref[:] = acc_ref[:] + acc_l
             else:
+                # Lane groups: independent column blocks interleaved per
+                # step.  Each group's step chain is serial (metric carry)
+                # but the groups are mutually independent, exposing ILP
+                # the single-chain schedule cannot (same lever as the
+                # plane kernel's frame groups - PERF.md).
+                BG = None
                 for t in range(CHUNK):
-                    metrics = metrics_ref[:]
-                    nm, dec0, dec1 = acs_core(metrics, arg_for(t))
-                    commit(nm, gbase + t < total_steps)
-                    emit(dec0, dec1)
-            if mxu_pack:
-                c_all = jnp.concatenate(rows, axis=0)        # (CHUNK*H, B)
-                halves = jax.lax.dot_general(
-                    packmat_ref[:].astype(jnp.bfloat16),
-                    c_all.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-                slab = halves[0:CW, :] + (halves[CW:2 * CW, :] << 16)
-            else:
-                slab = jnp.concatenate(rows, axis=0)
+                    for gi in range(NG):
+                        if NG == 1:
+                            gsl = full
+                        else:
+                            BG = metrics_ref.shape[1] // NG
+                            gsl = slice(gi * BG, (gi + 1) * BG)
+                        metrics = metrics_ref[:, gsl]
+                        nm, dec0, dec1 = acs_core(metrics, arg_for(t, gsl))
+                        commit(nm, gbase + t < total_steps, gsl)
+                        emit(gi, dec0, dec1)
+
             pack_off = pl.multiple_of(c * CW, CW)
-            packed_ref[pl.ds(pack_off, CW), :] = slab
+            for gi in range(NG):
+                if NG == 1:
+                    gsl = full
+                else:
+                    BG = packed_ref.shape[1] // NG
+                    gsl = slice(gi * BG, (gi + 1) * BG)
+                if mxu_pack:
+                    c_all = jnp.concatenate(rows[gi], axis=0)  # (CHUNK*H, BG)
+                    halves = jax.lax.dot_general(
+                        packmat_ref[:].astype(jnp.bfloat16),
+                        c_all.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+                    slab = halves[0:CW, :] + (halves[CW:2 * CW, :] << 16)
+                else:
+                    slab = jnp.concatenate(rows[gi], axis=0)
+                packed_ref[pl.ds(pack_off, CW), gsl] = slab
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -304,12 +327,12 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
 def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
                        symbols: jnp.ndarray, time_block: int,
                        total_steps: int, interpret: bool,
                        mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
-                       pair_io: bool = False
+                       pair_io: bool = False, lane_groups: int = 1
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Padded-layout kernel launch.
 
@@ -329,7 +352,7 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
               and spec.max_error == 2 * spec.R * amp)
 
     kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
-                          cond_renorm, amp, pair_io)
+                          cond_renorm, amp, pair_io, lane_groups)
 
     const_specs = []
     const_vals = []
@@ -409,7 +432,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
                *, time_block: Optional[int] = None,
                interpret: bool = None, mxu_bm: bool = False,
                mxu_pack: bool = True, cond_renorm: bool = False,
-               pair_io: bool = False
+               pair_io: bool = False, lane_groups: int = 1
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -449,13 +472,22 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     time_block = min(time_block, -(-max(CHUNK, T) // CHUNK) * CHUNK)
     T_pad = -(-T // time_block) * time_block
 
+    # Lane groups need equal 128-lane-aligned column blocks; shrink to
+    # the largest feasible count (pair_io keeps the single-chain form).
+    lanes = B_pad // LANE_BATCH
+    NG = max(1, min(int(lane_groups), lanes))
+    while lanes % NG:
+        NG -= 1
+    if pair_io:
+        NG = 1
+
     sym = jnp.transpose(symbols.astype(jnp.int32), (1, 2, 0)).reshape(T * R, B)
     sym = jnp.pad(sym, ((0, (T_pad - T) * R), (0, B_pad - B)))
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
 
     m_out, packed, acc = _acs_pallas_padded(
         spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),
-        bool(mxu_pack), bool(cond_renorm), bool(pair_io))
+        bool(mxu_pack), bool(cond_renorm), bool(pair_io), NG)
 
     packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
     return m_out[:, :B], packed, acc[0, :B]
