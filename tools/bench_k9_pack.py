@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""K=9 experiment: MXU decision packing above the H<=64 cap.
+
+MAX_MXU_HALF_STATES currently disables the pack matmul for H=128 (K=9)
+on VMEM-pressure grounds; the pack weights stay exact for any H (powers
+of two in bf16, f32 accumulate).  Measure elementwise vs MXU pack.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, jax_core
+
+code = get_code("CDMA IS-95A")
+config = get_decode_config(DecodeType.SOFT8, code.R)
+spec = jax_core.make_static_spec(code, config)
+B, T = 1024, 2048
+rng = np.random.RandomState(0)
+syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                               config.soft_decision_high + 1,
+                               (B, T, code.R)), jnp.int32)
+m0 = jax_core.initial_metrics(spec, B)
+
+
+def make(cap):
+    def run_impl(m, s, reps):
+        acs_pallas.MAX_MXU_HALF_STATES = cap
+
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = acs_pallas.acs_pallas(spec, m, s)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        out = jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
+        acs_pallas.MAX_MXU_HALF_STATES = 64
+        return out
+    return jax.jit(run_impl)
+
+
+def timed(f, reps):
+    t0 = time.perf_counter()
+    out = f(m0, syms, jnp.asarray(reps, jnp.int32))
+    jax.device_get(out[1])
+    return time.perf_counter() - t0
+
+
+# correctness first: MXU pack at H=128 must be bit-identical
+acs_pallas.MAX_MXU_HALF_STATES = 128
+pm, pp, pa = acs_pallas.acs_pallas(spec, m0, syms[:, :64])
+acs_pallas.MAX_MXU_HALF_STATES = 64
+em, ep, ea = jax_core.acs_scan(spec, m0, syms[:, :64])
+assert np.array_equal(np.asarray(pm), np.asarray(em))
+assert np.array_equal(np.asarray(pp), np.asarray(ep))
+print("H=128 MXU pack bit-exact OK", flush=True)
+
+for cap, tag in ((64, "elementwise pack"), (128, "MXU pack")):
+    f = make(cap)
+    timed(f, 1)
+    vals = []
+    for _ in range(5):
+        t1, t2 = timed(f, 2), timed(f, 8)
+        vals.append((t2 - t1) / 6)
+    dt = float(np.median(vals))
+    print(f"{tag}: {dt*1e3:7.2f} ms  {B*T*code.R/dt/1e9:6.3f} Gsym/s",
+          flush=True)

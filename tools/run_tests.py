@@ -53,8 +53,6 @@ def main():
                                            config.soft_decision_low)
                     for d in data])
                 for backend in backends:
-                    if backend == "pallas" and code.num_states > 4096:
-                        continue  # K=15 uses the XLA path by design
                     total += 1
                     reason = skip.get((arith, decode_type, code.name))
                     if reason:
