@@ -43,11 +43,20 @@ def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     block_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 
-    code = vt.get_code("Voyager")
+    # Voyager exercises the lane-resident Pallas kernel, Cassini the
+    # big-state plane kernel (ops/bigstate_pallas.py) - both checked
+    # bit-for-bit against the reference's own AVX binaries.
+    cases = [("Voyager", "voyager", block_bits,
+              [("soft16", 2.0), ("soft8", 2.5), ("hard8", 4.0)]),
+             ("Cassini", "cassini", min(block_bits, 512),
+              [("soft16", -1.0), ("soft8", 0.0), ("hard8", 2.0)])]
     failures = 0
     with tempfile.TemporaryDirectory() as tmp:
         exe = build_probe(tmp)
-        for mode, EbNo in [("soft16", 2.0), ("soft8", 2.5), ("hard8", 4.0)]:
+        for code_name, probe_code, bbits, mode_list in cases:
+          code = vt.get_code(code_name)
+          for mode, EbNo in mode_list:
+            block_bits = bbits
             dt = vt.DecodeType(mode.upper())
             config = vt.get_decode_config(dt, code.R)
             spec = jax_core.make_static_spec(code, config)
@@ -61,8 +70,8 @@ def main():
             sin = os.path.join(tmp, "syms.bin")
             sout = os.path.join(tmp, "out.bin")
             syms.reshape(frames, -1).astype("<i2").tofile(sin)
-            subprocess.run([exe, mode, sin, sout, str(block_bits)],
-                           check=True)
+            subprocess.run([exe, mode, sin, sout, str(block_bits),
+                            probe_code], check=True)
             ref_bits = np.unpackbits(
                 np.fromfile(sout, dtype=np.uint8).reshape(
                     frames, block_bits // 8), axis=1, bitorder="big")
@@ -76,7 +85,7 @@ def main():
             our_err = int((ours != np.asarray(tx)).sum())
             status = "OK " if disagree == 0 else "FAIL"
             failures += disagree != 0
-            print(f"{status} {mode:7s} @ {EbNo} dB: "
+            print(f"{status} {code_name:8s} {mode:7s} @ {EbNo} dB: "
                   f"{disagree} disagreement bits / {ours.size}; "
                   f"channel errors ref={ref_err} ours={our_err}")
     return 1 if failures else 0
