@@ -55,6 +55,7 @@ acs_pallas.MAX_MXU_HALF_STATES = 64
 em, ep, ea = jax_core.acs_scan(spec, m0, syms[:, :64])
 assert np.array_equal(np.asarray(pm), np.asarray(em))
 assert np.array_equal(np.asarray(pp), np.asarray(ep))
+assert np.array_equal(np.asarray(pa), np.asarray(ea))
 print("H=128 MXU pack bit-exact OK", flush=True)
 
 for cap, tag in ((64, "elementwise pack"), (128, "MXU pack")):

@@ -56,18 +56,18 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     def acs(m, s):
         # PALLAS = the production incremental path (ViterbiDecoder
         # update): the lane-resident Pallas kernel, or for S > 4096 the
-        # plane kernel (ops/bigstate_pallas.py) including its (T, W, B)
-        # row rearrangement - exactly what decoder.update runs.
+        # plane kernel (ops/bigstate_pallas.py) whose frame-major output
+        # IS the decoder's decision buffer (no rearrangement in
+        # production since the decision layout is backend-native).
         if plane:
-            return bigstate_pallas.acs_plane_update(spec, m, s)
+            return bigstate_pallas.acs_plane_pallas(spec, m, s)
         if use_pallas:
             return acs_pallas.acs_pallas(spec, m, s)
         return jax_core.acs_scan(spec, m, s)
 
     def cback(p, e):
         if plane:
-            return bigstate_pallas.chainback_plane_words(spec, p, e,
-                                                         total_bits)
+            return bigstate_pallas.chainback_plane(spec, p, e, total_bits)
         if use_pallas:
             return chainback_pallas.chainback_pallas(spec, p, e, total_bits)
         return jax_core.chainback_scan(spec, p, e, total_bits)
@@ -77,7 +77,7 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
         def body(i, carry):
             m, sink = carry
             m, packed, acc = acs(m, s)
-            return m, sink + packed[0, 0, 0] + acc[0]
+            return m, sink + packed.reshape(-1)[0] + acc[0]
         return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 
     _, packed, _ = acs(m0, syms)

@@ -75,7 +75,11 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
         Bl = syms.shape[0]
         m0 = jax_core.initial_metrics(spec, Bl)
         if jax_core.needs_big_state(spec):
-            from .ops import bigstate
+            from .ops import bigstate, bigstate_pallas
+            if use_pallas and bigstate_pallas.supports(spec):
+                bits, _, _, _ = bigstate_pallas.decode_big_pallas(
+                    spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)
+                return bits
             bits, _, _, _ = bigstate.decode_big(
                 spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)
             return bits

@@ -90,6 +90,12 @@ class ViterbiDecoder:
       * ``"xla"``    - pure jnp + lax.scan (portable; CPU/TPU).
       * ``"pallas"`` - fused Pallas TPU kernel for the ACS hot loop.
       * ``"auto"``   - pallas on TPU, xla elsewhere.
+
+    Input contract: soft symbols lie in [soft_decision_low,
+    soft_decision_high].  The decoder clamps inputs to that range (the
+    same clamp the reference harness applies before every decode,
+    helpers/test_helpers.h:88-93), so all backends agree bit-for-bit
+    even on out-of-range inputs.
     """
 
     def __init__(self, code: CodeSpec, config: Union[DecoderConfig, DecodeType, str],
@@ -135,11 +141,24 @@ class ViterbiDecoder:
 
     # -- state ------------------------------------------------------------
     def reset(self, batch: int, starting_state: int = 0) -> DecoderState:
-        """Fresh carry for ``batch`` frames (viterbi_decoder_core.h:202-211)."""
+        """Fresh carry for ``batch`` frames (viterbi_decoder_core.h:202-211).
+
+        Decision-row layout is backend-specific: (rows, W, B) state-order
+        words for the lane-resident backends, (B, rows, W/128, 128)
+        slot-order words for the big-state plane backend (its kernel's
+        native layout - storing it as-is keeps the production update
+        free of any rearrangement).  ``chainback`` pairs the matching
+        traceback automatically; carries are not interchangeable across
+        differently-backed decoders.
+        """
         spec = self.spec
+        if self._plane:
+            dec_shape = (batch, self.decision_rows, spec.W // 128, 128)
+        else:
+            dec_shape = (self.decision_rows, spec.W, batch)
         state = DecoderState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
-            decisions=jnp.zeros((self.decision_rows, spec.W, batch), jnp.int32),
+            decisions=jnp.zeros(dec_shape, jnp.int32),
             accumulated_error=jnp.zeros(batch, jnp.int32),
             bit_cursor=jnp.zeros((), jnp.int32),
         )
@@ -160,6 +179,8 @@ class ViterbiDecoder:
         if N % self.code.R:
             raise ValueError("symbol count must be a multiple of R")
         nbits = N // self.code.R
+        time_axis = 1 if self._plane else 0
+        capacity = state.decisions.shape[time_axis]
         # Mirror of the reference's capacity assert
         # (viterbi_decoder_core.h:180-186): a write past the decision
         # buffer would otherwise silently clamp and corrupt the tail.
@@ -172,49 +193,72 @@ class ViterbiDecoder:
                                              jax.core.Tracer):
             cursor = int(state.bit_cursor)
         if cursor is not None:
-            if cursor + nbits > state.decisions.shape[0]:
+            if cursor + nbits > capacity:
                 raise ValueError(
                     f"decision buffer overflow: {cursor} rows used + "
-                    f"{nbits} new > capacity {state.decisions.shape[0]} "
+                    f"{nbits} new > capacity {capacity} "
                     "(set_traceback_length before reset, or chainback "
                     "and reset between blocks)")
         backend = "plane" if self._plane else self.backend
         phase0 = 0
+        full = False
         if self._plane:
             # The plane kernel's layout-rotation schedule is keyed to the
             # global trellis step; chunked updates must resume at the
-            # carried phase (a static kernel parameter).
+            # carried phase (a static kernel parameter - chunk sizes that
+            # are multiples of K-1 reuse one compiled kernel, others
+            # compile up to K-1 variants).
             if cursor is None:
                 raise ValueError(
-                    "plane-backend update needs a host-known bit cursor "
-                    "(call update outside jit, or use backend='xla')")
+                    "the big-state plane backend needs a host-known bit "
+                    "cursor to resume the rotation schedule; call update "
+                    "outside jit/scan, or construct the decoder with "
+                    "backend='xla' for fully-traced update pipelines")
             phase0 = cursor % (self.code.K - 1)
-        new = self._update_jit(self.spec, backend, phase0, state,
+            full = cursor == 0 and nbits == capacity
+        new = self._update_jit(self.spec, backend, phase0, full, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
             new._host_cursor = cursor + nbits
         return new
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
-    def _update_jit(spec, backend, phase0, state: DecoderState,
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                       donate_argnums=(4,))
+    def _update_jit(spec, backend, phase0, full, state: DecoderState,
                     symbols: jnp.ndarray) -> DecoderState:
+        # Decoder contract (as the reference harness guarantees before
+        # every decode, helpers/test_helpers.h:88-93): soft symbols lie
+        # in [low, high].  Clamping here makes every backend agree
+        # bit-for-bit on out-of-range inputs too.
+        symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
         if backend == "plane":
             from .ops import bigstate_pallas
-            metrics, packed, acc = bigstate_pallas.acs_plane_update(
+            metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
                 spec, state.metrics, symbols, phase0=phase0)
-        elif backend == "pallas":
-            from .ops import acs_pallas
-            metrics, packed, acc = acs_pallas.acs_pallas(spec, state.metrics, symbols)
+            if full:
+                # one-shot fill: the kernel's own output IS the buffer
+                decisions = packed
+            else:
+                decisions = jax.lax.dynamic_update_slice_in_dim(
+                    state.decisions, packed, state.bit_cursor, axis=1)
+            nrows = packed.shape[1]
         else:
-            metrics, packed, acc = jax_core.acs_scan(spec, state.metrics, symbols)
-        decisions = jax.lax.dynamic_update_slice_in_dim(
-            state.decisions, packed, state.bit_cursor, axis=0)
+            if backend == "pallas":
+                from .ops import acs_pallas
+                metrics, packed, acc = acs_pallas.acs_pallas(
+                    spec, state.metrics, symbols)
+            else:
+                metrics, packed, acc = jax_core.acs_scan(
+                    spec, state.metrics, symbols)
+            decisions = jax.lax.dynamic_update_slice_in_dim(
+                state.decisions, packed, state.bit_cursor, axis=0)
+            nrows = packed.shape[0]
         return DecoderState(
             metrics=metrics,
             decisions=decisions,
             accumulated_error=state.accumulated_error + acc,
-            bit_cursor=state.bit_cursor + packed.shape[0],
+            bit_cursor=state.bit_cursor + nrows,
         )
 
     # -- readout ----------------------------------------------------------
@@ -233,7 +277,7 @@ class ViterbiDecoder:
         ends = jnp.full((B,), end_state, jnp.int32)
         if self._plane:
             from .ops import bigstate_pallas
-            return bigstate_pallas.chainback_plane_words(
+            return bigstate_pallas.chainback_plane(
                 self.spec, state.decisions, ends, total_bits)
         if self.backend == "pallas":
             from .ops import chainback_pallas
@@ -267,9 +311,11 @@ class ViterbiDecoder:
 
             m0 = jax_core.initial_metrics(self.spec, B)
             ends = jnp.full((B,), end_state, jnp.int32)
+            # same input clamp as _update_jit (decoder-wide contract)
+            syms = jnp.clip(symbols.reshape(B, -1, self.code.R),
+                            self.spec.soft_low, self.spec.soft_high)
             bits, m, _, acc = bigstate.decode_big(
-                self.spec, m0, symbols.reshape(B, -1, self.code.R),
-                ends, total_bits)
+                self.spec, m0, syms, ends, total_bits)
             return bits, m[end_state & (self.spec.S - 1), :], acc
         if self._traceback_length < total_bits:
             self.set_traceback_length(total_bits)

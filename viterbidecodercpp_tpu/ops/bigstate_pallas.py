@@ -56,8 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import jax_core
 from .jax_core import StaticSpec
 
-__all__ = ["supports", "acs_plane_pallas", "acs_plane_update",
-           "chainback_plane", "chainback_plane_words", "decode_big_pallas"]
+__all__ = ["supports", "acs_plane_pallas", "chainback_plane",
+           "decode_big_pallas"]
 
 # Production defaults, measured on v5e (tools/bench_plane.py, Cassini
 # SOFT16 B=256 T=1024): G=1 8.3, G=4 20.6, G=8 25.6 Msym/s exact path;
@@ -381,26 +381,6 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     return m_logical, packed, acc.reshape(B_pad, COLS)[:B, 0]
 
 
-def acs_plane_update(spec: StaticSpec, metrics: jnp.ndarray,
-                     symbols: jnp.ndarray, **kw
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """:func:`acs_plane_pallas` with packed rows in the decoder-state
-    layout (T, W, B): slot q lives at linear word index
-    w = (q >> 12) * COLS + (q & 127), bit (q >> 7) & 31 (plane
-    bit-order, NOT the ViterbiDecisionBits state order - pair with
-    :func:`chainback_plane_words`).
-
-    This is the incremental-update integration point: the (T, W, B)
-    shape matches ``DecoderState.decisions`` so chunked update /
-    checkpoint / streaming all work unchanged; only the bit order inside
-    a row differs, which the matching chainback inverts.
-    """
-    m, packed, acc = acs_plane_pallas(spec, metrics, symbols, **kw)
-    B, T = packed.shape[0], packed.shape[1]
-    words = packed.transpose(1, 2, 3, 0).reshape(T, spec.W, B)
-    return m, words, acc
-
-
 def _chainback_steps(spec: StaticSpec, rows: jnp.ndarray,
                      end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
     """Shared slot-order traceback walk.
@@ -438,23 +418,15 @@ def _chainback_steps(spec: StaticSpec, rows: jnp.ndarray,
 def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
                     end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
     """Traceback over (B, T, WRr, COLS) slot-order packed rows
-    (acs_plane_pallas output), T >= total_bits + K - 1."""
+    (acs_plane_pallas output / a plane-backend ``DecoderState``'s
+    decision buffer), T >= total_bits + K - 1."""
     n = spec.K - 1
+    if packed.shape[1] < total_bits + n:
+        raise ValueError(
+            f"decision history has {packed.shape[1]} rows < "
+            f"total_bits + K - 1 = {total_bits + n}")
     rows = packed[:, n:n + total_bits]        # (B, bits, WRr, COLS)
     rows = jnp.transpose(rows, (1, 2, 3, 0))  # (bits, WRr, COLS, B)
-    return _chainback_steps(spec, rows, end_state, total_bits)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def chainback_plane_words(spec: StaticSpec, words: jnp.ndarray,
-                          end_state: jnp.ndarray,
-                          total_bits: int) -> jnp.ndarray:
-    """Traceback over (T, W, B) plane-bit-order rows (acs_plane_update
-    output / ``DecoderState.decisions`` of a plane-backend decoder)."""
-    n = spec.K - 1
-    WRr = (spec.S // COLS) // 32
-    rows = words[n:n + total_bits]
-    rows = rows.reshape(total_bits, WRr, COLS, -1)
     return _chainback_steps(spec, rows, end_state, total_bits)
 
 

@@ -80,6 +80,8 @@ class StaticSpec(NamedTuple):
     init_start: int
     init_other: int
     saturating: bool
+    soft_low: int       # documented soft-symbol range [low, high]; the
+    soft_high: int      # decoder clamps inputs to it (test_helpers.h:88-93)
 
 
 def make_static_spec(code: CodeSpec, config: DecoderConfig) -> StaticSpec:
@@ -98,6 +100,8 @@ def make_static_spec(code: CodeSpec, config: DecoderConfig) -> StaticSpec:
         init_start=config.initial_start_error,
         init_other=config.initial_non_start_error,
         saturating=config.arith == "saturating",
+        soft_low=int(config.soft_decision_low),
+        soft_high=int(config.soft_decision_high),
     )
 
 

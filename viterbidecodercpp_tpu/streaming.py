@@ -107,6 +107,8 @@ class StreamingDecoder:
                    donate_argnums=(4,))
 def _push_jit(spec, backend, window, chunk, state: StreamingState,
               symbols: jnp.ndarray):
+    # same input clamp as ViterbiDecoder.update (decoder-wide contract)
+    symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
     if backend == "pallas":
         from .ops import acs_pallas
         metrics, packed, _ = acs_pallas.acs_pallas(spec, state.metrics,
