@@ -58,3 +58,37 @@ def test_streaming_latency_and_priming():
         sd.push(state, np.zeros((1, 8), np.int32))  # wrong chunk size
     with pytest.raises(ValueError):
         StreamingDecoder(code, "HARD8", window=60, chunk=16)
+
+
+def test_streaming_plane_k15():
+    """K=15 streams through the plane kernel (backend='pallas', interpret
+    on CPU): committed bits must match the full decode, including pushes
+    whose chunk is NOT a multiple of K-1 (exercising phase0 resume)."""
+    code = get_code("Cassini")
+    window, chunk = 56, 8          # chunk % 14 != 0 -> several phase0s
+    sd = StreamingDecoder(code, "SOFT16", window=window, chunk=chunk,
+                          backend="pallas")
+    assert sd._plane
+    rng = np.random.RandomState(7)
+    nbytes = 16
+    data = rng.randint(0, 256, (1, nbytes), dtype=np.uint8)
+    syms = np.stack([ref.encode_bytes(code, d, 127, -127) for d in data]
+                    ).astype(np.int64)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_rows = window + chunk
+    n_push = -(-(T + pad_rows) // chunk)
+    sym_stream = np.zeros((1, n_push * chunk * code.R), np.int32)
+    sym_stream[:, :T * code.R] = syms
+
+    state = sd.reset(1)
+    emitted = []
+    for i in range(n_push):
+        blk = sym_stream[:, i * chunk * code.R:(i + 1) * chunk * code.R]
+        state, bits, valid = sd.push(state, blk)
+        if bool(valid):
+            emitted.append(np.asarray(bits))
+    stream = np.concatenate(emitted, axis=1)
+    got = stream[:, code.K - 1:code.K - 1 + total_bits]
+    expect = np.unpackbits(data, axis=1, bitorder="big")
+    np.testing.assert_array_equal(got, expect)

@@ -57,7 +57,7 @@ from . import jax_core
 from .jax_core import StaticSpec
 
 __all__ = ["supports", "acs_plane_pallas", "chainback_plane",
-           "decode_big_pallas"]
+           "walk_plane", "decode_big_pallas"]
 
 # Production defaults, measured on v5e (tools/bench_plane.py, Cassini
 # SOFT16 B=256 T=1024): G=1 8.3, G=4 20.6, G=8 25.6 Msym/s exact path;
@@ -381,19 +381,23 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     return m_logical, packed, acc.reshape(B_pad, COLS)[:B, 0]
 
 
-def _chainback_steps(spec: StaticSpec, rows: jnp.ndarray,
-                     end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
-    """Shared slot-order traceback walk.
+def walk_plane(spec: StaticSpec, rows: jnp.ndarray,
+               end_state: jnp.ndarray, total_bits: int,
+               rots=None) -> jnp.ndarray:
+    """Slot-order traceback walk (shared by chainback and streaming).
 
-    rows: (total_bits, WRr, COLS, B) decision words, time-major (row i =
-    global trellis step n + i).  The decision for new state s' written at
-    step t sits at slot q = rotr_n(s', t+1): word row (q >> 7) >> 5, bit
-    (q >> 7) & 31, lane q & 127.  Walk as viterbi_decoder_core.h:223-235.
+    rows: (total_bits, WRr, COLS, B) decision words, time-major.  The
+    decision for new state s' written at global step t sits at slot
+    q = rotr_n(s', t+1): word row (q >> 7) >> 5, bit (q >> 7) & 31,
+    lane q & 127.  ``rots``: per-row rotation amounts (t+1) mod n; the
+    default assumes row i is global step n + i (a fresh decode's
+    data-bit rows).  Walk as viterbi_decoder_core.h:223-235.
     """
     n = spec.K - 1
     WRr = (spec.S // COLS) // 32
     mask = (1 << n) - 1
-    rots = ((np.arange(total_bits) + 1) % n).astype(np.int32)
+    if rots is None:
+        rots = ((np.arange(total_bits) + 1) % n).astype(np.int32)
     iota_w = jnp.arange(WRr, dtype=jnp.int32)[:, None, None]
     iota_c = jnp.arange(COLS, dtype=jnp.int32)[None, :, None]
 
@@ -427,7 +431,7 @@ def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
             f"total_bits + K - 1 = {total_bits + n}")
     rows = packed[:, n:n + total_bits]        # (B, bits, WRr, COLS)
     rows = jnp.transpose(rows, (1, 2, 3, 0))  # (bits, WRr, COLS, B)
-    return _chainback_steps(spec, rows, end_state, total_bits)
+    return walk_plane(spec, rows, end_state, total_bits)
 
 
 def decode_big_pallas(spec: StaticSpec, metrics: jnp.ndarray,

@@ -26,6 +26,7 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .codes import CodeSpec
 from .config import DecoderConfig, DecodeType, get_decode_config
@@ -77,14 +78,26 @@ class StreamingDecoder:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.backend = backend
+        # Big-state codes stream through the plane kernel (the decision
+        # ring keeps its frame-major slot-order layout); see decoder.py.
+        self._plane = False
+        if backend == "pallas" and jax_core.needs_big_state(self.spec):
+            from .ops import bigstate_pallas
+            self._plane = bigstate_pallas.supports(self.spec)
 
     def reset(self, batch: int, starting_state: int = 0) -> StreamingState:
         spec = self.spec
-        return StreamingState(
+        if self._plane:
+            hist_shape = (batch, self.window, spec.W // 128, 128)
+        else:
+            hist_shape = (self.window, spec.W, batch)
+        state = StreamingState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
-            history=jnp.zeros((self.window, spec.W, batch), jnp.int32),
+            history=jnp.zeros(hist_shape, jnp.int32),
             rows_seen=jnp.zeros((), jnp.int32),
         )
+        state._host_rows = 0
+        return state
 
     def push(self, state: StreamingState, symbols
              ) -> Tuple[StreamingState, jnp.ndarray, jnp.ndarray]:
@@ -99,8 +112,41 @@ class StreamingDecoder:
         if N != self.chunk * self.code.R:
             raise ValueError(f"push expects exactly chunk*R = "
                              f"{self.chunk * self.code.R} symbols")
-        return _push_jit(self.spec, self.backend, self.window, self.chunk,
-                         state, symbols.reshape(B, self.chunk, self.code.R))
+        symbols = symbols.reshape(B, self.chunk, self.code.R)
+        if self._plane:
+            return self._push_plane(state, symbols)
+        new_state, bits, valid = _push_jit(self.spec, self.backend,
+                                           self.window, self.chunk,
+                                           state, symbols)
+        new_state._host_rows = getattr(state, "_host_rows", 0) + self.chunk
+        return new_state, bits, valid
+
+    def _push_plane(self, state: StreamingState, symbols):
+        """Plane-kernel push: the ACS rotation schedule is keyed to the
+        global trellis step, so the stream position must be host-known
+        (same constraint as ViterbiDecoder.update on this backend).
+        Chunk sizes that are multiples of K-1 reuse one compiled kernel.
+        """
+        n = self.code.K - 1
+        rows = getattr(state, "_host_rows", None)
+        if rows is None:
+            if isinstance(state.rows_seen, jax.core.Tracer):
+                raise ValueError(
+                    "plane-backend streaming needs a host-known stream "
+                    "position; call push outside jit, or use "
+                    "backend='xla'")
+            rows = int(state.rows_seen)
+        phase0 = rows % n
+        # per-history-row rotation amounts for the walk: history row i is
+        # global step (rows + chunk - window + i); decisions for step t
+        # read with rot (t + 1) mod n
+        g0 = rows + self.chunk - self.window
+        rots = ((np.arange(self.window) + g0 + 1) % n).astype(np.int32)
+        new_state, bits, valid = _push_plane_jit(
+            self.spec, self.window, self.chunk, phase0, state, symbols,
+            jnp.asarray(rots))
+        new_state._host_rows = rows + self.chunk
+        return new_state, bits, valid
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
@@ -131,6 +177,38 @@ def _push_jit(spec, backend, window, chunk, state: StreamingState,
 
     _, bits_rev = jax.lax.scan(walk, best, history[::-1])
     bits = jnp.swapaxes(bits_rev[::-1][:chunk], 0, 1)          # (B, chunk)
+
+    new_state = StreamingState(metrics=metrics, history=history,
+                               rows_seen=rows_seen)
+    valid = rows_seen >= window
+    return new_state, bits, valid
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(4,))
+def _push_plane_jit(spec, window, chunk, phase0, state: StreamingState,
+                    symbols: jnp.ndarray, rots: jnp.ndarray):
+    """Big-state push: plane-kernel ACS + slot-order truncated traceback.
+
+    History ring is (B, window, W/128, 128) in the kernel's frame-major
+    slot-order layout; ``rots`` carries the per-row rotation amounts
+    (computed host-side from the global stream position) so the walk
+    inverts the rotated decision layout without recompiling per push.
+    """
+    from .ops import bigstate_pallas
+
+    symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
+    metrics, packed, _ = bigstate_pallas.acs_plane_pallas(
+        spec, state.metrics, symbols, phase0=phase0)
+
+    history = jnp.concatenate([state.history[:, chunk:], packed], axis=1)
+    rows_seen = state.rows_seen + chunk
+
+    best = jnp.argmin(metrics, axis=0).astype(jnp.int32)       # (B,)
+    rows = jnp.transpose(history, (1, 2, 3, 0))    # (window, WRr, COLS, B)
+    bits_all = bigstate_pallas.walk_plane(spec, rows, best, window,
+                                          rots=rots)           # (B, window)
+    bits = bits_all[:, :chunk]
 
     new_state = StreamingState(metrics=metrics, history=history,
                                rows_seen=rows_seen)
