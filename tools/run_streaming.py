@@ -6,6 +6,7 @@ streaming.StreamingDecoder in fixed chunks and checks the continuously
 emitted bits against the transmitted data (fixed decision delay =
 window trellis steps).  Exit 1 on any bit error.
 """
+import argparse
 import sys
 
 sys.path.insert(0, ".")
@@ -18,15 +19,26 @@ def main():
     from viterbidecodercpp_tpu.ops import numpy_ref as ref
     from viterbidecodercpp_tpu.streaming import StreamingDecoder
 
-    code = get_code("Voyager")
-    window, chunk, batch, nbytes = 256, 64, 8, 512
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="voyager",
+                    choices=["voyager", "cassini"])
+    args = ap.parse_args()
+    if args.code == "cassini":
+        # K=15 streams through the big-state plane kernel; window/chunk
+        # multiples of K-1 reuse one compiled kernel variant
+        code = get_code("Cassini")
+        window, chunk, batch, nbytes, noise = 280, 56, 32, 128, 60
+    else:
+        code = get_code("Voyager")
+        window, chunk, batch, nbytes, noise = 256, 64, 8, 512, 25
     sd = StreamingDecoder(code, "SOFT16", window=window, chunk=chunk)
 
     rng = np.random.RandomState(1)
     data = rng.randint(0, 256, (batch, nbytes), dtype=np.uint8)
     syms = np.stack([ref.encode_bytes(code, d, 127, -127) for d in data]
                     ).astype(np.int64)
-    syms = np.clip(syms + rng.randint(-25, 26, syms.shape), -127, 127)
+    syms = np.clip(syms + rng.randint(-noise, noise + 1, syms.shape),
+                   -127, 127)
     total_bits = nbytes * 8
     T = total_bits + code.K - 1
     pad = window + chunk
