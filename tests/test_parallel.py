@@ -158,3 +158,26 @@ def test_punctured_stream_over_time_mesh():
                                      overlap=96, total_rows=T)
     got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
     np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)
+
+
+@needs_mesh
+def test_frame_dp_plane_kernel_cassini():
+    """K=15 frames sharded over the mesh run the plane Pallas kernel
+    (interpret mode) inside shard_map - the multi-chip path for the
+    big-state code class."""
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    mesh = make_mesh((2,), ("data",))
+    rng = np.random.RandomState(1)
+    B, nbytes = 2, 3
+    data = rng.randint(0, 256, (B, nbytes), dtype=np.uint8)
+    syms = np.stack([ref.encode_bytes(code, d, 127, -127) for d in data])
+    T = syms.shape[1] // code.R
+    total_bits = nbytes * 8
+    ref_bits = np.unpackbits(data, axis=1, bitorder="big")
+    bits, errs = frame_dp.decode_dp(
+        spec, mesh, jnp.asarray(syms.reshape(B, T, code.R)), total_bits,
+        use_pallas=True, reference_bits=jnp.asarray(ref_bits))
+    assert int(errs) == 0
+    np.testing.assert_array_equal(np.asarray(bits), ref_bits)

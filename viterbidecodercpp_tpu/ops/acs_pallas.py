@@ -373,9 +373,9 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
         const_vals.append(jnp.asarray(m))
 
     out_shapes = (
-        jax.ShapeDtypeStruct((S, B), jnp.int32),
-        jax.ShapeDtypeStruct((T_pad * W, B), jnp.int32),
-        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax_core.sds_like(metrics, (S, B), jnp.int32),
+        jax_core.sds_like(metrics, (T_pad * W, B), jnp.int32),
+        jax_core.sds_like(metrics, (1, B), jnp.int32),
     )
     grid_spec = pl.GridSpec(
         grid=(num_blocks,),

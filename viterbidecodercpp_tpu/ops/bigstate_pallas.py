@@ -284,9 +284,9 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
         ),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((F, G, ROWS, COLS), jnp.int32),
-        jax.ShapeDtypeStruct((F, G, NTB * TB * WRr, COLS), jnp.int32),
-        jax.ShapeDtypeStruct((F, G, COLS), jnp.int32),
+        jax_core.sds_like(init, (F, G, ROWS, COLS), jnp.int32),
+        jax_core.sds_like(init, (F, G, NTB * TB * WRr, COLS), jnp.int32),
+        jax_core.sds_like(init, (F, G, COLS), jnp.int32),
     )
     steps = NTB * TB
     cost = pl.CostEstimate(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import jax_core
 from .jax_core import StaticSpec
 
 __all__ = ["chainback_pallas"]
@@ -112,7 +113,7 @@ def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
     kernel = _make_kernel(spec, total_rows, num_blocks, time_block)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
+        out_shape=jax_core.sds_like(packed, (T_pad, B), jnp.int32),
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec(

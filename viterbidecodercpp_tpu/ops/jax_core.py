@@ -55,6 +55,16 @@ DECISION_WORD_BITS = 32
 MAX_LANE_STATES = 4096
 
 
+def sds_like(x, shape, dtype):
+    """ShapeDtypeStruct carrying ``x``'s varying-manual-axes type so
+    pallas_call outputs are well-typed inside shard_map (JAX vma
+    tracking; plain structs fail check_vma there)."""
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=jax.typeof(x).vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def needs_big_state(spec: "StaticSpec") -> bool:
     """True when (K, R) exceeds the lane-resident kernel bound (K=15)."""
     return spec.S > MAX_LANE_STATES

@@ -41,7 +41,15 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     def shard_fn(sym_blk, ref_blk):
         Bl = sym_blk.shape[0]
         m0 = pvary(jax_core.initial_metrics(spec, Bl), "data")
-        if use_pallas:
+        plane = False
+        if use_pallas and jax_core.needs_big_state(spec):
+            from ..ops import bigstate_pallas
+            plane = bigstate_pallas.supports(spec)
+        if plane:
+            bits, m, _, acc = bigstate_pallas.decode_big_pallas(
+                spec, m0, sym_blk,
+                pvary(jnp.zeros(Bl, jnp.int32), "data"), total_bits)
+        elif use_pallas:
             from ..ops import acs_pallas, chainback_pallas
             m, packed, acc = acs_pallas.acs_pallas(spec, m0, sym_blk)
             bits = chainback_pallas.chainback_pallas(
@@ -58,10 +66,18 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     if reference_bits is None:
         reference_bits = jnp.zeros((symbols.shape[0], total_bits), jnp.uint8)
 
+    kwargs = {}
+    if use_pallas and jax.default_backend() != "tpu":
+        # Interpret-mode pallas_call under shard_map: the interpreter's
+        # state discharge drops the varying-axis type on untouched refs,
+        # tripping the vma check (JAX asks to file an issue).  Compiled
+        # TPU kernels are unaffected.
+        kwargs["check_vma"] = False
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None)),
         out_specs=(P("data", None), P()),
+        **kwargs,
     )
     return jax.jit(fn)(symbols, reference_bits)
 
