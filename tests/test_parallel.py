@@ -181,3 +181,30 @@ def test_frame_dp_plane_kernel_cassini():
         use_pallas=True, reference_bits=jnp.asarray(ref_bits))
     assert int(errs) == 0
     np.testing.assert_array_equal(np.asarray(bits), ref_bits)
+
+
+@needs_mesh
+def test_block_sp_cassini_plane_kernel():
+    """The same K=15 long-stream tiling with use_pallas: the plane
+    kernel runs per time-tile with local phases, halo decision rows keep
+    a static rotation schedule (interpret mode on CPU)."""
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    ntime = 2
+    mesh = make_mesh((ntime,), ("time",))
+    rng = np.random.RandomState(7)
+    nbytes = 24
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = ref.encode_bytes(code, data, 127, -127).astype(np.int64)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = syms.reshape(T, code.R)
+
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=64, total_rows=T,
+                                     use_pallas=True)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)

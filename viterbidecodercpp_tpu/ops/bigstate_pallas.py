@@ -383,38 +383,45 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
 
 def walk_plane(spec: StaticSpec, rows: jnp.ndarray,
                end_state: jnp.ndarray, total_bits: int,
-               rots=None) -> jnp.ndarray:
-    """Slot-order traceback walk (shared by chainback and streaming).
+               rots=None, valid=None) -> jnp.ndarray:
+    """Slot-order traceback walk (shared by chainback, streaming, and
+    time-block SP).
 
     rows: (total_bits, WRr, COLS, B) decision words, time-major.  The
     decision for new state s' written at global step t sits at slot
     q = rotr_n(s', t+1): word row (q >> 7) >> 5, bit (q >> 7) & 31,
     lane q & 127.  ``rots``: per-row rotation amounts (t+1) mod n; the
     default assumes row i is global step n + i (a fresh decode's
-    data-bit rows).  Walk as viterbi_decoder_core.h:223-235.
+    data-bit rows).  ``valid`` (N,) masks rows to skip (stream padding
+    past the true end): a skipped row leaves the state untouched, so
+    the walk effectively starts at the last valid row.
+    Walk as viterbi_decoder_core.h:223-235.
     """
     n = spec.K - 1
     WRr = (spec.S // COLS) // 32
     mask = (1 << n) - 1
     if rots is None:
         rots = ((np.arange(total_bits) + 1) % n).astype(np.int32)
+    if valid is None:
+        valid = np.ones(total_bits, bool)
     iota_w = jnp.arange(WRr, dtype=jnp.int32)[:, None, None]
     iota_c = jnp.arange(COLS, dtype=jnp.int32)[None, :, None]
 
     def step(state, xs):
-        words, rot = xs                       # (WRr, COLS, B), ()
+        words, rot, ok = xs                   # (WRr, COLS, B), (), ()
         q = ((state >> rot) | (state << (n - rot))) & mask   # rotr(s', t+1)
         qrow = q >> LANE_BITS
         sel = jnp.logical_and(iota_w == (qrow >> 5)[None, None, :],
                               iota_c == (q & (COLS - 1))[None, None, :])
         word = jnp.where(sel, words, 0).sum(axis=(0, 1))
         d = (word >> (qrow & 31)) & 1
-        state = (state >> 1) | (d << (n - 1))
+        state = jnp.where(ok, (state >> 1) | (d << (n - 1)), state)
         return state, d.astype(jnp.uint8)
 
     # newest -> oldest walk without materialising reversed copies
     _, bits = jax.lax.scan(step, end_state.astype(jnp.int32),
-                           (rows, jnp.asarray(rots)), reverse=True)
+                           (rows, jnp.asarray(rots), jnp.asarray(valid)),
+                           reverse=True)
     return jnp.swapaxes(bits, 0, 1)
 
 

@@ -110,6 +110,49 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
 
     vary_axes = ("time",) if data_axis is None else (data_axis, "time")
 
+    plane = False
+    if use_pallas and jax_core.needs_big_state(spec):
+        from ..ops import bigstate_pallas
+        plane = bigstate_pallas.supports(spec)
+
+    def shard_fn_plane(sym_blk):
+        # Big-state tiles run the plane kernel.  Every device uses LOCAL
+        # phase 0 for its extended tile (no cross-device phase needed):
+        # ext row e was written at local phase e, so its decisions read
+        # with rot (e+1) mod n.  Own rows and the right-halo rows (the
+        # neighbour's FIRST O own rows, same local indexing) therefore
+        # share one static schedule rot[j] = (O + j + 1) mod n.
+        from ..ops import bigstate_pallas
+        n = spec.K - 1
+        idx = jax.lax.axis_index("time")
+        Bl = sym_blk.shape[0]
+
+        halo_syms = jax.lax.ppermute(sym_blk[:, L - O:, :], "time",
+                                     right_perm)
+        ext = jnp.concatenate([halo_syms, sym_blk], axis=1)    # (B, O+L, R)
+        reset_m = jax_core.initial_metrics(spec, Bl)
+        uniform_m = jnp.full_like(reset_m, spec.init_other)
+        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), vary_axes)
+        _, packed_ext, _ = bigstate_pallas.acs_plane_pallas(spec, m0, ext)
+        packed = packed_ext[:, O:]               # (B, L, WRr, COLS) own rows
+
+        halo_dec = jax.lax.ppermute(packed[:, :O], "time", left_perm)
+        ext_dec = jnp.concatenate([packed, halo_dec], axis=1)  # (B, L+O, ..)
+        rows_ext = jnp.transpose(ext_dec, (1, 2, 3, 0))
+        rots_own = ((O + np.arange(L) + 1) % n).astype(np.int32)
+        rots_ext = np.concatenate([rots_own,
+                                   ((O + np.arange(O) + 1) % n).astype(
+                                       np.int32)])
+        start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
+        start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
+        bits_interior = bigstate_pallas.walk_plane(
+            spec, rows_ext, start_interior, L + O, rots=rots_ext)[:, :L]
+        grow = idx * L + jax.lax.iota(jnp.int32, L)
+        bits_last = bigstate_pallas.walk_plane(
+            spec, jnp.transpose(packed, (1, 2, 3, 0)), start_last, L,
+            rots=rots_own, valid=grow < total_rows)
+        return jnp.where(idx == ntime - 1, bits_last, bits_interior)
+
     def shard_fn(sym_blk):
         # sym_blk: (B, L, R) - this device's tile.
         idx = jax.lax.axis_index("time")
@@ -146,9 +189,15 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         bits = jnp.where(idx == ntime - 1, bits_last, bits_interior)
         return jnp.swapaxes(bits, 0, 1)                    # (B, L)
 
-    fn = shard_map(shard_fn, mesh=mesh,
+    kwargs = {}
+    if use_pallas and jax.default_backend() != "tpu":
+        # see frame_dp: interpret-mode pallas under shard_map trips the
+        # vma check in the Pallas interpreter's state discharge
+        kwargs["check_vma"] = False
+    fn = shard_map(shard_fn_plane if plane else shard_fn, mesh=mesh,
                    in_specs=(P(data_axis, "time", None),),
-                   out_specs=P(data_axis, "time"))
+                   out_specs=P(data_axis, "time"),
+                   **kwargs)
     return jax.jit(fn)(symbols)
 
 
