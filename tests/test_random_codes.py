@@ -93,3 +93,29 @@ def test_random_puncture_pattern_roundtrip():
     bits, _, _ = dec.decode(np.asarray(rx), nbytes * 8)
     out = np.packbits(np.asarray(bits), axis=-1, bitorder="big")
     np.testing.assert_array_equal(out[0], data)
+
+
+def test_random_k15_code_plane_kernel():
+    """A random (non-registry) K=15 R=1/3 code through the plane kernel
+    (interpret): the big-state path must be correct for arbitrary
+    polynomials, not just Cassini."""
+    from viterbidecodercpp_tpu.ops import bigstate_pallas as bp
+
+    rng = np.random.RandomState(11)
+    code = random_code(rng, 15, 3)
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert bp.supports(spec)
+    T = 31
+    syms = rng.randint(-127, 128, (1, T, code.R)).astype(np.int32)
+    m0 = jax_core.initial_metrics(spec, 1)
+    m, packed, acc = bp.acs_plane_pallas(spec, m0, jnp.asarray(syms),
+                                         frames_per_group=1,
+                                         chunks_per_block=1, interpret=True)
+    bits = bp.chainback_plane(spec, packed, jnp.zeros(1, jnp.int32),
+                              T - (code.K - 1))
+    mr, dr, ar = ref.acs_run(code, config, syms[0].reshape(-1))
+    np.testing.assert_array_equal(mr, np.asarray(m)[:, 0])
+    assert ar == int(np.asarray(acc)[0])
+    br = ref.traceback(code, dr, T - (code.K - 1))
+    np.testing.assert_array_equal(br, np.asarray(bits)[0])
