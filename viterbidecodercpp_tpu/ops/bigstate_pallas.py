@@ -60,9 +60,10 @@ __all__ = ["supports", "acs_plane_pallas", "chainback_plane",
            "walk_plane", "decode_big_pallas"]
 
 # Production defaults, measured on v5e (tools/bench_plane.py, Cassini
-# SOFT16 B=256 T=1024): G=1 8.3, G=4 20.6, G=8 25.6 Msym/s exact path;
-# fast_bm adds ~25% (32.9 at G=8 C=2) - frame-level ILP is the lever.
-DEFAULT_FRAMES_PER_GROUP = 8
+# SOFT16 B=256 T=1024, two-candidate butterfly + fast_bm): G=8 34.9,
+# G=16 36.3, G=32 18.4 (VMEM collapse) - frame-level ILP is the lever,
+# bounded by the metric planes' VMEM footprint.
+DEFAULT_FRAMES_PER_GROUP = 16
 DEFAULT_CHUNKS_PER_BLOCK = 2
 
 COLS = 128          # lanes per plane (fixed: the VPU lane width)
@@ -172,8 +173,7 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                     m = m_ref[0, g]                       # (ROWS, COLS)
                     bv = roll(m, -dist, axis)             # value at p + d
                     cv = roll(m, dist, axis)              # value at p - d
-                    lo = jnp.where(maskj, cv, m)
-                    hi = jnp.where(maskj, m, bv)
+                    partner = jnp.where(maskj, cv, bv)
                     sidx = (c * n + idx) * R
                     if fast_bm:
                         # bt = +-A and symbols in [-A, A]:
@@ -187,31 +187,38 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                         for r in range(1, R):
                             bm = bm + jnp.abs(bt_ref[phi, r] -
                                               sym_ref[0, 0, sidx + r, g])
+                    # Two-candidate butterfly: position p only needs
+                    # e_self = m[p] + bm and e_part = m[partner] + ibm.
+                    # At a lo slot these are (e00, e10); at a hi slot
+                    # (e11, e01) - so each position's pair of candidates
+                    # covers exactly the reference's four-way butterfly
+                    # (viterbi_decoder_scalar.h:113-128) at half the
+                    # full-plane arithmetic of the naive in-place form.
                     ibm = max_error - bm
-                    e00 = lo + bm
-                    e10 = hi + ibm
-                    e01 = lo + ibm
-                    e11 = hi + bm
+                    e_self = m + bm
+                    e_part = partner + ibm
                     if saturating:
-                        e00 = jnp.minimum(e00, cap)
-                        e10 = jnp.minimum(e10, cap)
-                        e01 = jnp.minimum(e01, cap)
-                        e11 = jnp.minimum(e11, cap)
-                        dec0 = e10 <= e00     # SIMD tie -> predecessor 1
-                        dec1 = e11 <= e01
+                        e_self = jnp.minimum(e_self, cap)
+                        e_part = jnp.minimum(e_part, cap)
+                        # lo: dec0 = e10 <= e00 = e_part <= e_self
+                        # hi: dec1 = e11 <= e01 = e_self <= e_part
+                        diff = e_part - e_self
+                        c_lo = diff <= 0      # SIMD tie -> predecessor 1
+                        c_hi = diff >= 0
                     else:
-                        e00 = jnp.bitwise_and(e00, cap)
-                        e10 = jnp.bitwise_and(e10, cap)
-                        e01 = jnp.bitwise_and(e01, cap)
-                        e11 = jnp.bitwise_and(e11, cap)
-                        dec0 = e00 > e10      # scalar tie -> predecessor 0
-                        dec1 = e01 > e11
+                        e_self = jnp.bitwise_and(e_self, cap)
+                        e_part = jnp.bitwise_and(e_part, cap)
+                        # lo: dec0 = e00 > e10 = e_self > e_part
+                        # hi: dec1 = e01 > e11 = e_part > e_self
+                        diff = e_self - e_part
+                        c_lo = diff > 0       # scalar tie -> predecessor 0
+                        c_hi = diff < 0
                     nm = jnp.where(
                         maskj,
-                        jnp.where(dec1, e11, e01),        # odd lands on hi
-                        jnp.where(dec0, e10, e00))        # even lands on lo
-                    dbit = jnp.where(maskj, dec1.astype(jnp.int32),
-                                     dec0.astype(jnp.int32))
+                        jnp.where(c_hi, e_self, e_part),  # odd lands on hi
+                        jnp.where(c_lo, e_part, e_self))  # even lands on lo
+                    dbit = jnp.where(maskj, c_hi.astype(jnp.int32),
+                                     c_lo.astype(jnp.int32))
                     # renormalise: state 0 sits at slot (0, 0) at every
                     # phase; gate on it, subtract the plane min
                     # (viterbi_decoder_scalar.h:48, 139-153)
