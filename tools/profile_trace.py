@@ -6,7 +6,8 @@ reference wraps reset/update/chainback in nanosecond timers
 (run_benchmark.cpp:267-281), on TPU the ground truth is the XLA device
 trace.  Writes a TensorBoard-loadable trace directory.
 
-Usage: python tools/profile_trace.py [outdir] [reps]
+Usage: python tools/profile_trace.py [outdir] [reps] [code]
+(code: voyager | cassini - cassini traces the big-state plane kernel)
 """
 import sys
 sys.path.insert(0, ".")
@@ -23,14 +24,20 @@ def main():
 
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vdt_trace"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    which = sys.argv[3] if len(sys.argv) > 3 else "voyager"
 
-    code = get_code("Voyager")
-    config = get_decode_config(DecodeType.SOFT8, code.R)
+    if which == "cassini":
+        code = get_code("Cassini")
+        config = get_decode_config(DecodeType.SOFT16, code.R)
+    else:
+        code = get_code("Voyager")
+        config = get_decode_config(DecodeType.SOFT8, code.R)
     spec = jax_core.make_static_spec(code, config)
-    B, T = 1024, 2048
+    B, T = (256, 1024) if which == "cassini" else (1024, 2048)
     total_bits = T - (code.K - 1)
     rng = np.random.RandomState(0)
-    syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
+    lo, hi = config.soft_decision_low, config.soft_decision_high
+    syms = jnp.asarray(rng.randint(lo, hi + 1, (B, T, code.R)).astype(np.int32))
     m0 = jax_core.initial_metrics(spec, B)
     ends = jnp.zeros(B, jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
@@ -39,10 +46,16 @@ def main():
     def pipeline(m):
         def body(i, carry):
             m, sink = carry
-            m, packed, acc = acs_pallas.acs_pallas(spec, m, syms,
-                                                   interpret=not on_tpu)
-            bits = chainback_pallas.chainback_pallas(
-                spec, packed, ends, total_bits, interpret=not on_tpu)
+            if which == "cassini":
+                from viterbidecodercpp_tpu.ops import bigstate_pallas
+                bits, m, _, acc = bigstate_pallas.decode_big_pallas(
+                    spec, m, syms, ends, total_bits,
+                    interpret=not on_tpu)
+            else:
+                m, packed, acc = acs_pallas.acs_pallas(
+                    spec, m, syms, interpret=not on_tpu)
+                bits = chainback_pallas.chainback_pallas(
+                    spec, packed, ends, total_bits, interpret=not on_tpu)
             return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
         return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 

@@ -60,7 +60,10 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
         # IS the decoder's decision buffer (no rearrangement in
         # production since the decision layout is backend-native).
         if plane:
-            return bigstate_pallas.acs_plane_pallas(spec, m, s)
+            # keep_padding mirrors the production one-shot fill (the
+            # decoder adopts the kernel's padded buffer; no slice copy)
+            return bigstate_pallas.acs_plane_pallas(spec, m, s,
+                                                    keep_padding=True)
         if use_pallas:
             return acs_pallas.acs_pallas(spec, m, s)
         return jax_core.acs_scan(spec, m, s)

@@ -153,7 +153,14 @@ class ViterbiDecoder:
         """
         spec = self.spec
         if self._plane:
-            dec_shape = (batch, self.decision_rows, spec.W // 128, 128)
+            # rows round up to the plane kernel's time-block multiple so
+            # a one-shot fill can adopt the kernel's (padded) output
+            # buffer without a slicing copy; rows past decision_rows are
+            # dead padding the chainback never reads
+            from .ops import bigstate_pallas
+            tb = bigstate_pallas.DEFAULT_CHUNKS_PER_BLOCK * (self.code.K - 1)
+            phys = -(-self.decision_rows // tb) * tb
+            dec_shape = (batch, phys, spec.W // 128, 128)
         else:
             dec_shape = (self.decision_rows, spec.W, batch)
         state = DecoderState(
@@ -215,7 +222,11 @@ class ViterbiDecoder:
                     "outside jit/scan, or construct the decoder with "
                     "backend='xla' for fully-traced update pipelines")
             phase0 = cursor % (self.code.K - 1)
-            full = cursor == 0 and nbits == capacity
+            # one-shot fill: the kernel's padded output buffer matches
+            # the (equally padded) state buffer exactly - adopt it
+            from .ops import bigstate_pallas
+            tb = bigstate_pallas.DEFAULT_CHUNKS_PER_BLOCK * (self.code.K - 1)
+            full = cursor == 0 and -(-nbits // tb) * tb == capacity
         new = self._update_jit(self.spec, backend, phase0, full, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
@@ -235,14 +246,16 @@ class ViterbiDecoder:
         if backend == "plane":
             from .ops import bigstate_pallas
             metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
-                spec, state.metrics, symbols, phase0=phase0)
+                spec, state.metrics, symbols, phase0=phase0,
+                keep_padding=full)
+            nrows = symbols.shape[1]
             if full:
-                # one-shot fill: the kernel's own output IS the buffer
+                # one-shot fill: the kernel's own (padded) output IS the
+                # buffer - no slice, no copy
                 decisions = packed
             else:
                 decisions = jax.lax.dynamic_update_slice_in_dim(
                     state.decisions, packed, state.bit_cursor, axis=1)
-            nrows = packed.shape[1]
         else:
             if backend == "pallas":
                 from .ops import acs_pallas

@@ -316,7 +316,7 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
                      chunks_per_block: int = DEFAULT_CHUNKS_PER_BLOCK,
                      fast_bm: Optional[bool] = None,
                      interpret: Optional[bool] = None,
-                     phase0: int = 0
+                     phase0: int = 0, keep_padding: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Big-state ACS: metrics (S, B) i32, symbols (B, T, R) i32 ->
     (metrics (S, B) logical order, packed (B, T, WRr, COLS) slot-order
@@ -384,7 +384,14 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     perm = jnp.asarray(_rotr(np.arange(spec.S), (phase0 + T) % n, n))
     m_flat = m.reshape(B_pad, spec.S)[:B]
     m_logical = jnp.take(m_flat, perm, axis=1).T
-    packed = packed.reshape(B_pad, T_pad, WRr, COLS)[:B, :T]
+    packed = packed.reshape(B_pad, T_pad, WRr, COLS)
+    if keep_padding:
+        # skip the [:T] row slice - it materialises a copy of the whole
+        # (GB-scale) decision tensor (~6% of ACS time in device traces);
+        # padded rows past T are garbage the consumer must ignore
+        packed = packed[:B] if B_pad != B else packed
+    else:
+        packed = packed[:B, :T]
     return m_logical, packed, acc.reshape(B_pad, COLS)[:B, 0]
 
 
@@ -457,7 +464,9 @@ def decode_big_pallas(spec: StaticSpec, metrics: jnp.ndarray,
 
     Same contract as ops/bigstate.decode_big: returns (bits
     (B, total_bits) uint8, final metrics (S, B) logical order, packed
-    (slot order), acc (B,))."""
+    (slot order; rows may extend past T with dead padding - the
+    chainback only reads rows [K-1, K-1+total_bits)), acc (B,))."""
+    kw.setdefault("keep_padding", True)
     m, packed, acc = acs_plane_pallas(spec, metrics, symbols, **kw)
     bits = chainback_plane(spec, packed, end_state, total_bits)
     return bits, m, packed, acc
