@@ -111,7 +111,7 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="SOFT16")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=1024)
-    ap.add_argument("--variants", default="1,4,0;4,4,0")
+    ap.add_argument("--variants", default="16,2,1;8,2,1")
     args = ap.parse_args()
     if args.check:
         check(args.mode)

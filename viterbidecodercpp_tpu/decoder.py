@@ -120,7 +120,7 @@ class ViterbiDecoder:
         # (T, W, B) DecoderState shape but plane bit-order, inverted by
         # the matching chainback below.
         self._plane = False
-        if backend == "pallas" and jax_core.needs_big_state(self.spec):
+        if backend == "pallas":
             from .ops import bigstate_pallas
             self._plane = bigstate_pallas.supports(self.spec)
         self._traceback_length = int(traceback_length)
@@ -158,7 +158,7 @@ class ViterbiDecoder:
             # buffer without a slicing copy; rows past decision_rows are
             # dead padding the chainback never reads
             from .ops import bigstate_pallas
-            tb = bigstate_pallas.DEFAULT_CHUNKS_PER_BLOCK * (self.code.K - 1)
+            tb = bigstate_pallas.time_block_rows(spec)
             phys = -(-self.decision_rows // tb) * tb
             dec_shape = (batch, phys, spec.W // 128, 128)
         else:
@@ -225,7 +225,7 @@ class ViterbiDecoder:
             # one-shot fill: the kernel's padded output buffer matches
             # the (equally padded) state buffer exactly - adopt it
             from .ops import bigstate_pallas
-            tb = bigstate_pallas.DEFAULT_CHUNKS_PER_BLOCK * (self.code.K - 1)
+            tb = bigstate_pallas.time_block_rows(self.spec)
             full = cursor == 0 and -(-nbits // tb) * tb == capacity
         new = self._update_jit(self.spec, backend, phase0, full, state,
                                symbols.reshape(B, nbits, self.code.R))

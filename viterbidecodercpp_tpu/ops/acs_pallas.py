@@ -90,13 +90,7 @@ _pack_words = jax_core.pack_decisions
 CHUNK = 8
 
 
-def _symmetric_amplitude(spec: StaticSpec) -> Optional[int]:
-    """A when the branch table is {-A, +A}-valued, else None."""
-    bt = np.asarray(spec.bt)
-    amp = int(bt.max())
-    if amp > 0 and int(bt.min()) == -amp and np.isin(bt, (-amp, amp)).all():
-        return amp
-    return None
+_symmetric_amplitude = jax_core.symmetric_amplitude
 
 
 def _bm_matrix(spec: StaticSpec, amp: int) -> np.ndarray:
@@ -266,6 +260,11 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                 return [syms[t * R + i:t * R + i + 1, gsl] for i in range(R)]
 
             full = slice(None)
+            if NG == 1:
+                gsls = [full]
+            else:
+                BG = metrics_ref.shape[1] // NG
+                gsls = [slice(gi * BG, (gi + 1) * BG) for gi in range(NG)]
             if pair_io:
                 # one metrics VMEM round-trip per pair of steps
                 # (ablation arm; lane_groups forced to 1)
@@ -289,26 +288,15 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                 # but the groups are mutually independent, exposing ILP
                 # the single-chain schedule cannot (same lever as the
                 # plane kernel's frame groups - PERF.md).
-                BG = None
                 for t in range(CHUNK):
-                    for gi in range(NG):
-                        if NG == 1:
-                            gsl = full
-                        else:
-                            BG = metrics_ref.shape[1] // NG
-                            gsl = slice(gi * BG, (gi + 1) * BG)
+                    for gi, gsl in enumerate(gsls):
                         metrics = metrics_ref[:, gsl]
                         nm, dec0, dec1 = acs_core(metrics, arg_for(t, gsl))
                         commit(nm, gbase + t < total_steps, gsl)
                         emit(gi, dec0, dec1)
 
             pack_off = pl.multiple_of(c * CW, CW)
-            for gi in range(NG):
-                if NG == 1:
-                    gsl = full
-                else:
-                    BG = packed_ref.shape[1] // NG
-                    gsl = slice(gi * BG, (gi + 1) * BG)
+            for gi, gsl in enumerate(gsls):
                 if mxu_pack:
                     c_all = jnp.concatenate(rows[gi], axis=0)  # (CHUNK*H, BG)
                     halves = jax.lax.dot_general(

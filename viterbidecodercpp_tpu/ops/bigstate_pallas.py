@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import jax_core
+from .bigstate import _rotr
 from .jax_core import StaticSpec
 
 __all__ = ["supports", "acs_plane_pallas", "chainback_plane",
@@ -80,12 +81,6 @@ def supports(spec: StaticSpec) -> bool:
     return wr >= 1 and (n * wr) % 8 == 0
 
 
-def _rotr(x: np.ndarray, k: int, n: int) -> np.ndarray:
-    k %= n
-    mask = (1 << n) - 1
-    return ((x >> k) | (x << (n - k))) & mask
-
-
 def _phase_bt_planes(spec: StaticSpec, signs: bool) -> np.ndarray:
     """(n, R, ROWS, COLS) int32 per-phase expanded branch tables.
 
@@ -106,18 +101,18 @@ def _phase_bt_planes(spec: StaticSpec, signs: bool) -> np.ndarray:
         assert h.max() < spec.H
         out[phi] = bt[:, h]
     if signs:
-        amp = int(np.abs(bt).max())
         out = np.where(out > 0, 1, -1).astype(np.int32)
-        return out, amp
     return out
 
 
-def _symmetric_amplitude(spec: StaticSpec) -> Optional[int]:
-    bt = np.asarray(spec.bt)
-    amp = int(bt.max())
-    if amp > 0 and int(bt.min()) == -amp and np.isin(bt, (-amp, amp)).all():
-        return amp
-    return None
+_symmetric_amplitude = jax_core.symmetric_amplitude
+
+
+def time_block_rows(spec: StaticSpec) -> int:
+    """Trellis rows per kernel time block at the production defaults
+    (decision buffers round up to this so one-shot fills can adopt the
+    kernel's padded output without a copy)."""
+    return DEFAULT_CHUNKS_PER_BLOCK * (spec.K - 1)
 
 
 def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
@@ -264,10 +259,7 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
     amp = _symmetric_amplitude(spec)
     if fast_bm and amp is None:
         fast_bm = False
-    if fast_bm:
-        btp, _ = _phase_bt_planes(spec, signs=True)
-    else:
-        btp = _phase_bt_planes(spec, signs=False)
+    btp = _phase_bt_planes(spec, signs=fast_bm)
 
     kernel = _make_kernel(spec, G, chunks, T, fast_bm, amp, interpret,
                           phase0)

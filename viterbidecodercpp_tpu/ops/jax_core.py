@@ -55,6 +55,17 @@ DECISION_WORD_BITS = 32
 MAX_LANE_STATES = 4096
 
 
+def symmetric_amplitude(spec: "StaticSpec"):
+    """A when the branch table is {-A, +A}-valued, else None (the
+    offset-binary symmetry the fast branch-metric paths rely on,
+    viterbi_decoder_scalar.h:97)."""
+    bt = np.asarray(spec.bt)
+    amp = int(bt.max())
+    if amp > 0 and int(bt.min()) == -amp and np.isin(bt, (-amp, amp)).all():
+        return amp
+    return None
+
+
 def sds_like(x, shape, dtype):
     """ShapeDtypeStruct carrying ``x``'s varying-manual-axes type so
     pallas_call outputs are well-typed inside shard_map (JAX vma

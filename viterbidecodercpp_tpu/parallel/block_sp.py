@@ -110,10 +110,11 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
 
     vary_axes = ("time",) if data_axis is None else (data_axis, "time")
 
-    plane = False
-    if use_pallas and jax_core.needs_big_state(spec):
+    if use_pallas:
         from ..ops import bigstate_pallas
-        plane = bigstate_pallas.supports(spec)
+        plane = bigstate_pallas.supports(spec)       # implies big-state
+    else:
+        plane = False
 
     def shard_fn_plane(sym_blk):
         # Big-state tiles run the plane kernel.  Every device uses LOCAL

@@ -41,10 +41,11 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     def shard_fn(sym_blk, ref_blk):
         Bl = sym_blk.shape[0]
         m0 = pvary(jax_core.initial_metrics(spec, Bl), "data")
-        plane = False
-        if use_pallas and jax_core.needs_big_state(spec):
+        if use_pallas:
             from ..ops import bigstate_pallas
-            plane = bigstate_pallas.supports(spec)
+            plane = bigstate_pallas.supports(spec)   # implies big-state
+        else:
+            plane = False
         if plane:
             bits, m, _, acc = bigstate_pallas.decode_big_pallas(
                 spec, m0, sym_blk,

@@ -81,7 +81,7 @@ class StreamingDecoder:
         # Big-state codes stream through the plane kernel (the decision
         # ring keeps its frame-major slot-order layout); see decoder.py.
         self._plane = False
-        if backend == "pallas" and jax_core.needs_big_state(self.spec):
+        if backend == "pallas":
             from .ops import bigstate_pallas
             self._plane = bigstate_pallas.supports(self.spec)
 
