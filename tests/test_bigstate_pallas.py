@@ -112,6 +112,48 @@ def test_decoder_plane_backend_incremental():
         assert re == err[b]
 
 
+def test_plane_checkpoint_roundtrip(tmp_path):
+    """Save/load of a plane-backend carry mid-stream, then resume -
+    the (B, rows, W/128, 128) layout and the phase cursor must survive
+    the .npz roundtrip."""
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    from viterbidecodercpp_tpu.decoder import DecoderState
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    dec = ViterbiDecoder(CODE, config, backend="pallas", traceback_length=24)
+    rng = np.random.RandomState(5)
+    total_bits = 24
+    T = total_bits + CODE.K - 1
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (1, T * CODE.R)).astype(np.int32)
+    cut = 9 * CODE.R                      # not a multiple of K-1
+    st = dec.reset(1)
+    st = dec.update(st, syms[:, :cut])
+    path = str(tmp_path / "carry.npz")
+    st.save(path)
+    st2 = DecoderState.load(path)
+    st2 = dec.update(st2, syms[:, cut:])
+    bits = np.asarray(dec.chainback(st2, total_bits))
+    rb, _, _ = ref.viterbi_decode(CODE, config, syms[0], total_bits)
+    np.testing.assert_array_equal(rb, bits[0])
+
+
+def test_out_of_range_symbols_agree_across_backends():
+    """The decoder-wide clamp contract: xla and plane backends decode
+    out-of-range symbols identically."""
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    rng = np.random.RandomState(6)
+    total_bits = 16
+    T = total_bits + CODE.K - 1
+    syms = rng.randint(-400, 401, (1, T * CODE.R)).astype(np.int32)
+    a = np.asarray(ViterbiDecoder(CODE, config, backend="xla")
+                   .decode(syms, total_bits)[0])
+    b = np.asarray(ViterbiDecoder(CODE, config, backend="pallas")
+                   .decode(syms, total_bits)[0])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_supports_gate():
     spec = jax_core.make_static_spec(
         CODE, get_decode_config(DecodeType.SOFT16, CODE.R))
