@@ -208,3 +208,36 @@ def test_block_sp_cassini_plane_kernel():
                                      use_pallas=True)
     got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
     np.testing.assert_array_equal(np.packbits(got, bitorder="big"), data)
+
+
+@needs_mesh
+def test_block_sp_exact_at_stream_head_with_noise():
+    """Device 0 decodes from the true reset metrics (no zero-symbol
+    warm-up that would erase the prior): with noise confined to the
+    first rows, the SP decode must match the sequential decoder
+    bit-for-bit even at the stream head."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    ntime = 2
+    mesh = make_mesh((ntime,), ("time",))
+    rng = np.random.RandomState(0)
+    nbytes = 64
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = ref.encode_bytes(code, data, 127, -127).astype(np.int64)
+    # obliterate the head: pure noise for the first 4K trellis steps -
+    # on this input a uniform-prior start decodes 4 bits differently
+    # from the reset-prior start, so the test discriminates
+    head = 4 * code.K * code.R
+    syms[:head] = rng.randint(-127, 128, head)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = syms.reshape(T, code.R)
+
+    seq_bits, _, _ = ref.viterbi_decode(code, config, syms, total_bits)
+    bits = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                     overlap=128, total_rows=T)
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(got, seq_bits)

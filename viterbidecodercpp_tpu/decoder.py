@@ -140,7 +140,8 @@ class ViterbiDecoder:
         return self._traceback_length + self.code.K - 1
 
     # -- state ------------------------------------------------------------
-    def reset(self, batch: int, starting_state: int = 0) -> DecoderState:
+    def reset(self, batch: int, starting_state: int = 0, *,
+              _alloc_decisions: bool = True) -> DecoderState:
         """Fresh carry for ``batch`` frames (viterbi_decoder_core.h:202-211).
 
         Decision-row layout is backend-specific: (rows, W, B) state-order
@@ -165,7 +166,11 @@ class ViterbiDecoder:
             dec_shape = (self.decision_rows, spec.W, batch)
         state = DecoderState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
-            decisions=jnp.zeros(dec_shape, jnp.int32),
+            # decode() skips the zero-fill (a decision-buffer-sized HBM
+            # write) when its single full update adopts the kernel's
+            # output buffer wholesale
+            decisions=(jnp.zeros(dec_shape, jnp.int32)
+                       if _alloc_decisions else None),
             accumulated_error=jnp.zeros(batch, jnp.int32),
             bit_cursor=jnp.zeros((), jnp.int32),
         )
@@ -187,7 +192,17 @@ class ViterbiDecoder:
             raise ValueError("symbol count must be a multiple of R")
         nbits = N // self.code.R
         time_axis = 1 if self._plane else 0
-        capacity = state.decisions.shape[time_axis]
+        if state.decisions is None:
+            from .ops import bigstate_pallas
+            tb = bigstate_pallas.time_block_rows(self.spec)
+            phys_rows = -(-self.decision_rows // tb) * tb
+        else:
+            phys_rows = state.decisions.shape[time_axis]
+        # logical capacity mirrors the reference's assert
+        # (viterbi_decoder_core.h:180-186); the plane buffer is padded
+        # past it with dead rows the chainback never reads
+        capacity = (min(phys_rows, self.decision_rows) if self._plane
+                    else phys_rows)
         # Mirror of the reference's capacity assert
         # (viterbi_decoder_core.h:180-186): a write past the decision
         # buffer would otherwise silently clamp and corrupt the tail.
@@ -226,7 +241,12 @@ class ViterbiDecoder:
             # the (equally padded) state buffer exactly - adopt it
             from .ops import bigstate_pallas
             tb = bigstate_pallas.time_block_rows(self.spec)
-            full = cursor == 0 and -(-nbits // tb) * tb == capacity
+            full = cursor == 0 and -(-nbits // tb) * tb == phys_rows
+            if state.decisions is None and not full:
+                raise ValueError(
+                    "decision buffer was deferred (reset with "
+                    "_alloc_decisions=False) but this update is not a "
+                    "one-shot full fill")
         new = self._update_jit(self.spec, backend, phase0, full, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
@@ -332,7 +352,16 @@ class ViterbiDecoder:
             return bits, m[end_state & (self.spec.S - 1), :], acc
         if self._traceback_length < total_bits:
             self.set_traceback_length(total_bits)
-        state = self.reset(B)
+        alloc = True
+        if self._plane:
+            # the single update below fills the whole buffer - skip the
+            # zero-fill when it will adopt the kernel's padded output
+            from .ops import bigstate_pallas
+            tb = bigstate_pallas.time_block_rows(self.spec)
+            nrows = symbols.shape[1] // self.code.R
+            phys = -(-self.decision_rows // tb) * tb
+            alloc = -(-nrows // tb) * tb != phys
+        state = self.reset(B, _alloc_decisions=alloc)
         state = self.update(state, symbols)
         bits = self.chainback(state, total_bits, end_state)
         return bits, self.get_error(state, end_state), state.accumulated_error

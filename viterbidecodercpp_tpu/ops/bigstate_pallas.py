@@ -388,7 +388,7 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
 
 
 def walk_plane(spec: StaticSpec, rows: jnp.ndarray,
-               end_state: jnp.ndarray, total_bits: int,
+               end_state: jnp.ndarray, *,
                rots=None, valid=None) -> jnp.ndarray:
     """Slot-order traceback walk (shared by chainback, streaming, and
     time-block SP).
@@ -406,10 +406,11 @@ def walk_plane(spec: StaticSpec, rows: jnp.ndarray,
     n = spec.K - 1
     WRr = (spec.S // COLS) // 32
     mask = (1 << n) - 1
+    nrows = rows.shape[0]
     if rots is None:
-        rots = ((np.arange(total_bits) + 1) % n).astype(np.int32)
+        rots = ((np.arange(nrows) + 1) % n).astype(np.int32)
     if valid is None:
-        valid = np.ones(total_bits, bool)
+        valid = np.ones(nrows, bool)
     iota_w = jnp.arange(WRr, dtype=jnp.int32)[:, None, None]
     iota_c = jnp.arange(COLS, dtype=jnp.int32)[None, :, None]
 
@@ -444,7 +445,7 @@ def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
             f"total_bits + K - 1 = {total_bits + n}")
     rows = packed[:, n:n + total_bits]        # (B, bits, WRr, COLS)
     rows = jnp.transpose(rows, (1, 2, 3, 0))  # (bits, WRr, COLS, B)
-    return walk_plane(spec, rows, end_state, total_bits)
+    return walk_plane(spec, rows, end_state)
 
 
 def decode_big_pallas(spec: StaticSpec, metrics: jnp.ndarray,

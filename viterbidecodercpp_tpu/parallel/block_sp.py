@@ -120,9 +120,13 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         # Big-state tiles run the plane kernel.  Every device uses LOCAL
         # phase 0 for its extended tile (no cross-device phase needed):
         # ext row e was written at local phase e, so its decisions read
-        # with rot (e+1) mod n.  Own rows and the right-halo rows (the
-        # neighbour's FIRST O own rows, same local indexing) therefore
-        # share one static schedule rot[j] = (O + j + 1) mod n.
+        # with rot (e+1) mod n.  Device 0 has no left neighbour: it
+        # decodes its own rows directly from the reset metrics (exact,
+        # and cheaper - a zero-symbol warm-up would *erase* the reset
+        # prior, since equal branch metrics diffuse the state metrics
+        # flat within K-1 steps).  Its halo decision slots are dead
+        # zeros and its rot schedule starts at phase 0 instead of O -
+        # both handled with traced per-device arrays.
         from ..ops import bigstate_pallas
         n = spec.K - 1
         idx = jax.lax.axis_index("time")
@@ -130,28 +134,41 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
 
         halo_syms = jax.lax.ppermute(sym_blk[:, L - O:, :], "time",
                                      right_perm)
-        ext = jnp.concatenate([halo_syms, sym_blk], axis=1)    # (B, O+L, R)
-        reset_m = jax_core.initial_metrics(spec, Bl)
+        reset_m = pvary(jax_core.initial_metrics(spec, Bl), vary_axes)
         uniform_m = jnp.full_like(reset_m, spec.init_other)
-        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), vary_axes)
-        _, packed_ext, _ = bigstate_pallas.acs_plane_pallas(spec, m0, ext)
+
+        def acs_first():
+            _, pk, _ = bigstate_pallas.acs_plane_pallas(spec, reset_m,
+                                                        sym_blk)
+            return jnp.pad(pk, ((0, 0), (O, 0), (0, 0), (0, 0)))
+
+        def acs_interior():
+            ext = jnp.concatenate([halo_syms, sym_blk], axis=1)
+            _, pk, _ = bigstate_pallas.acs_plane_pallas(spec, uniform_m,
+                                                        ext)
+            return pk
+
+        packed_ext = jax.lax.cond(idx == 0, acs_first, acs_interior)
         packed = packed_ext[:, O:]               # (B, L, WRr, COLS) own rows
 
         halo_dec = jax.lax.ppermute(packed[:, :O], "time", left_perm)
         ext_dec = jnp.concatenate([packed, halo_dec], axis=1)  # (B, L+O, ..)
         rows_ext = jnp.transpose(ext_dec, (1, 2, 3, 0))
-        rots_own = ((O + np.arange(L) + 1) % n).astype(np.int32)
-        rots_ext = np.concatenate([rots_own,
-                                   ((O + np.arange(O) + 1) % n).astype(
-                                       np.int32)])
+        # own rows were local steps O..O+L-1 (interior) or 0..L-1 (first);
+        # halo rows always come from an interior neighbour's first O rows
+        base = jnp.where(idx == 0, 0, O)
+        rots_own = (base + jnp.arange(L) + 1) % n
+        rots_halo = jnp.asarray(((O + np.arange(O) + 1) % n).astype(
+            np.int32))
+        rots_ext = jnp.concatenate([rots_own, rots_halo]).astype(jnp.int32)
         start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
         start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
         bits_interior = bigstate_pallas.walk_plane(
-            spec, rows_ext, start_interior, L + O, rots=rots_ext)[:, :L]
+            spec, rows_ext, start_interior, rots=rots_ext)[:, :L]
         grow = idx * L + jax.lax.iota(jnp.int32, L)
         bits_last = bigstate_pallas.walk_plane(
-            spec, jnp.transpose(packed, (1, 2, 3, 0)), start_last, L,
-            rots=rots_own, valid=grow < total_rows)
+            spec, jnp.transpose(packed, (1, 2, 3, 0)), start_last,
+            rots=rots_own.astype(jnp.int32), valid=grow < total_rows)
         return jnp.where(idx == ntime - 1, bits_last, bits_interior)
 
     def shard_fn(sym_blk):
@@ -160,17 +177,30 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         Bl = sym_blk.shape[0]
 
         # --- ACS with left-halo warm-up --------------------------------
+        # Device 0 has no left neighbour: it runs its own rows straight
+        # from the reset metrics (exact - see shard_fn_plane) and its
+        # discarded halo decision rows are zeros.
         halo_syms = jax.lax.ppermute(sym_blk[:, L - O:, :], "time",
                                      right_perm)          # left nbr's tail
-        ext = jnp.concatenate([halo_syms, sym_blk], axis=1)  # (B, O+L, R)
-        reset_m = jax_core.initial_metrics(spec, Bl)
+        reset_m = pvary(jax_core.initial_metrics(spec, Bl), vary_axes)
         uniform_m = jnp.full_like(reset_m, spec.init_other)
-        m0 = pvary(jnp.where(idx == 0, reset_m, uniform_m), vary_axes)
-        if use_pallas:
-            from ..ops import acs_pallas
-            _, packed_ext, _ = acs_pallas.acs_pallas(spec, m0, ext)
-        else:
-            _, packed_ext, _ = jax_core.acs_scan(spec, m0, ext)
+
+        def acs(m0, syms_in):
+            if use_pallas:
+                from ..ops import acs_pallas
+                _, pk, _ = acs_pallas.acs_pallas(spec, m0, syms_in)
+            else:
+                _, pk, _ = jax_core.acs_scan(spec, m0, syms_in)
+            return pk
+
+        def acs_first():
+            return jnp.pad(acs(reset_m, sym_blk), ((O, 0), (0, 0), (0, 0)))
+
+        def acs_interior():
+            ext = jnp.concatenate([halo_syms, sym_blk], axis=1)
+            return acs(uniform_m, ext)
+
+        packed_ext = jax.lax.cond(idx == 0, acs_first, acs_interior)
         packed = packed_ext[O:]                            # (L, W, B) own rows
 
         # --- traceback with right-halo warm-down ------------------------

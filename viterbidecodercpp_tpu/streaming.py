@@ -206,7 +206,7 @@ def _push_plane_jit(spec, window, chunk, phase0, state: StreamingState,
 
     best = jnp.argmin(metrics, axis=0).astype(jnp.int32)       # (B,)
     rows = jnp.transpose(history, (1, 2, 3, 0))    # (window, WRr, COLS, B)
-    bits_all = bigstate_pallas.walk_plane(spec, rows, best, window,
+    bits_all = bigstate_pallas.walk_plane(spec, rows, best,
                                           rots=rots)           # (B, window)
     bits = bits_all[:, :chunk]
 
