@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compiled-path differential soak: random (K, R) codes decoded on the
+real TPU vs the NumPy oracle.
+
+The CPU property tests run the kernels in interpret mode; this drives
+the *compiled* Mosaic kernels across code shapes the registry doesn't
+cover (odd K, high R), catching shape-specific miscompiles.
+
+Usage: python tools/soak_tpu.py [n_codes] [seed]
+"""
+import sys
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+    from viterbidecodercpp_tpu import (DecodeType, ViterbiDecoder,
+                                       get_decode_config)
+    from viterbidecodercpp_tpu.codes import CodeSpec
+    from viterbidecodercpp_tpu.ops import numpy_ref as ref
+
+    n_codes = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.RandomState(seed)
+    dts = [DecodeType.SOFT16, DecodeType.SOFT8, DecodeType.HARD8]
+    fails = 0
+    for i in range(n_codes):
+        K = int(rng.randint(3, 12))
+        R = int(rng.randint(2, 7))
+        G = []
+        for _ in range(R):
+            G.append(int(rng.randint(0, 1 << K)) | 1 | (1 << (K - 1)))
+        code = CodeSpec(f"soak K={K} R=1/{R}", K, tuple(G))
+        dt = dts[i % len(dts)]
+        config = get_decode_config(dt, R)
+        nbytes = 24
+        total_bits = nbytes * 8
+        data = rng.randint(0, 256, (2, nbytes), dtype=np.uint8)
+        syms = np.stack([ref.encode_bytes(code, d, config.soft_decision_high,
+                                          config.soft_decision_low)
+                         for d in data]).astype(np.int64)
+        span = config.soft_decision_high - config.soft_decision_low
+        syms = np.clip(syms + rng.randint(-span // 4, span // 4 + 1,
+                                          syms.shape),
+                       config.soft_decision_low, config.soft_decision_high)
+        dec = ViterbiDecoder(code, config)
+        bits, err, acc = dec.decode(jnp.asarray(syms), total_bits)
+        bits, err, acc = (np.asarray(bits), np.asarray(err), np.asarray(acc))
+        ok = True
+        for b in range(2):
+            rb, re, ra = ref.viterbi_decode(code, config, syms[b], total_bits)
+            ok &= (np.array_equal(rb, bits[b]) and re == err[b]
+                   and ra == acc[b])
+        tag = "OK " if ok else "FAIL"
+        fails += not ok
+        print(f"{tag} {code.name:16s} {dt.value:7s} backend={dec.backend}",
+              flush=True)
+    print(f"{n_codes - fails}/{n_codes} exact vs oracle")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
