@@ -1,0 +1,42 @@
+"""Multi-process integration test: 2 spawned processes, gloo collectives.
+
+The framework's multi-host path (parallel/launch.py) is exercised the
+way real 2-host hardware would run it: two OS processes each hosting 2
+virtual CPU devices join one distributed JAX run and decode with
+
+  * frame-DP over all 4 devices (scalar psum crossing the process
+    boundary),
+  * time-SP with the stream's time axis spanning the two processes
+    (halo ppermute over the inter-process link), and
+  * the composed 2-D mesh (data across processes x time within each).
+
+This is the CPU stand-in for DCN+ICI on a real fleet (the analogue of
+the reference CI running its NEON build under qemu, SURVEY.md
+section 4).  Workers assert exact decodes; any failure propagates as a
+nonzero exit.
+"""
+
+import pytest
+
+from viterbidecodercpp_tpu.parallel import launch
+
+
+def test_two_process_dryrun():
+    # launch_processes enforces its own per-worker timeout
+    launch.launch_processes(2, 2, timeout=540)
+
+
+def test_hybrid_mesh_single_process():
+    """make_hybrid_mesh on the in-process (virtual 8-device) fleet:
+    axis order is DCN-outer, sizes must cover every device."""
+    import jax
+
+    n = jax.device_count()
+    mesh = launch.make_hybrid_mesh(dcn={"data": 2}, ici={"time": n // 2})
+    assert mesh.axis_names == ("data", "time")
+    assert mesh.shape["data"] == 2 and mesh.shape["time"] == n // 2
+
+    with pytest.raises(ValueError):
+        launch.make_hybrid_mesh(dcn={"data": 3}, ici={"time": n})
+    with pytest.raises(ValueError):
+        launch.make_hybrid_mesh()

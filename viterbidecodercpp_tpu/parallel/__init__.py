@@ -10,6 +10,9 @@ The TPU-native equivalents:
     axis with overlap warm-up regions and ppermute halo exchange: the
     sequence-parallel capability the reference lacks (SURVEY.md section 5
     "long-context / sequence parallelism").
+  * launch - multi-process / multi-host scaffolding: per-process
+    jax.distributed setup, DCN-outer/ICI-inner hybrid meshes, global
+    array assembly, and the spawned-process dryrun used by CI.
 """
 
-from . import frame_dp, block_sp  # noqa: F401
+from . import frame_dp, block_sp, launch  # noqa: F401
