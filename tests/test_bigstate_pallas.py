@@ -112,6 +112,69 @@ def test_decoder_plane_backend_incremental():
         assert re == err[b]
 
 
+def test_decoder_plane_backend_traced_update():
+    """update under jit/scan on the plane backend: the rotation phase is
+    selected at run time via lax.switch over the K-1 kernel variants
+    (run_punctured_decoder.cpp:258-282 incremental contract, now fully
+    traceable)."""
+    import jax
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    dec = ViterbiDecoder(CODE, config, backend="pallas",
+                         traceback_length=24)
+    rng = np.random.RandomState(7)
+    B, total_bits = 1, 24
+    T = total_bits + CODE.K - 1
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T * CODE.R)).astype(np.int32)
+    cut = 9 * CODE.R                     # 9 not a multiple of K-1 = 14
+
+    @jax.jit
+    def pipeline(st, a, b):
+        st = dec.update(st, a)
+        st = dec.update(st, b)           # enters at traced phase 9
+        return st
+
+    st = pipeline(dec.reset(B), jnp.asarray(syms[:, :cut]),
+                  jnp.asarray(syms[:, cut:]))
+    bits = np.asarray(dec.chainback(st, total_bits))
+    rb, re, _ = ref.viterbi_decode(CODE, config, syms[0], total_bits)
+    np.testing.assert_array_equal(rb, bits[0])
+    assert re == np.asarray(dec.get_error(st))[0]
+
+
+def test_streaming_plane_traced_push():
+    """StreamingDecoder K=15 push inside jit (traced rows_seen)."""
+    import jax
+    from viterbidecodercpp_tpu import StreamingDecoder
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    window, chunk = 28, 14
+    sd = StreamingDecoder(CODE, config, window=window, chunk=chunk,
+                          backend="pallas")
+    assert sd._plane
+    rng = np.random.RandomState(8)
+    B, nchunks = 1, 4
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, nchunks * chunk * CODE.R)).astype(np.int32)
+
+    @jax.jit
+    def step(st, blk):
+        return sd.push(st, blk)
+
+    st_t = sd.reset(B)
+    st_h = sd.reset(B)
+    for c in range(nchunks):
+        blk = jnp.asarray(syms[:, c * chunk * CODE.R:(c + 1) * chunk * CODE.R])
+        st_t, bits_t, _ = step(st_t, blk)
+        st_h, bits_h, _ = sd.push(st_h, blk)    # host-cursor reference
+        np.testing.assert_array_equal(np.asarray(bits_t),
+                                      np.asarray(bits_h))
+    np.testing.assert_array_equal(np.asarray(st_t.metrics),
+                                  np.asarray(st_h.metrics))
+
+
 def test_plane_checkpoint_roundtrip(tmp_path):
     """Save/load of a plane-backend carry mid-stream, then resume -
     the (B, rows, W/128, 128) layout and the phase cursor must survive
@@ -161,3 +224,37 @@ def test_supports_gate():
     small = jax_core.make_static_spec(
         get_code("Voyager"), get_decode_config(DecodeType.SOFT16, 2))
     assert not bp.supports(small)
+
+
+def test_k14_random_code_property():
+    """K=14 (S=8192, n*WRr=26 - an odd decision-slab height) was gated
+    out before the chunk-major full-dimension slab store; a random K=14
+    code must now run the plane kernel bit-exactly vs the oracle."""
+    from viterbidecodercpp_tpu.codes import CodeSpec
+    rng = np.random.RandomState(11)
+    K = 14
+    mask = (1 << K) - 1
+    G_polys = tuple(
+        int(g) | 1 | (1 << (K - 1))
+        for g in rng.randint(0, mask + 1, 2))
+    code = CodeSpec("K14-rand", K, G_polys)
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert bp.supports(spec)
+    B, T = 2, 2 * (K - 1) + 5            # crosses a chunk boundary
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T, code.R)).astype(np.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    m, packed, acc = bp.acs_plane_pallas(
+        spec, m0, jnp.asarray(syms), frames_per_group=2,
+        chunks_per_block=2, interpret=True)
+    bits = bp.chainback_plane(spec, packed, jnp.zeros(B, jnp.int32),
+                              T - (K - 1))
+    m, acc, bits = np.asarray(m), np.asarray(acc), np.asarray(bits)
+    for b in range(B):
+        mr, dr, ar = ref.acs_run(code, config, syms[b].reshape(-1))
+        np.testing.assert_array_equal(mr, m[:, b])
+        assert ar == acc[b]
+        br = ref.traceback(code, dr, T - (K - 1))
+        np.testing.assert_array_equal(br, bits[b])

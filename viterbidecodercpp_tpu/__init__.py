@@ -21,6 +21,7 @@ from .codes import (
 )
 from .config import DECODE_TYPES, DecodeType, DecoderConfig, get_decode_config
 from .decoder import DecoderState, ViterbiDecoder
+from .streaming import StreamingDecoder, StreamingState
 
 __version__ = "0.1.0"
 
@@ -39,5 +40,7 @@ __all__ = [
     "get_decode_config",
     "ViterbiDecoder",
     "DecoderState",
+    "StreamingDecoder",
+    "StreamingState",
     "__version__",
 ]

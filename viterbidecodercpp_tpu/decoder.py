@@ -231,22 +231,28 @@ class ViterbiDecoder:
             # are multiples of K-1 reuse one compiled kernel, others
             # compile up to K-1 variants).
             if cursor is None:
-                raise ValueError(
-                    "the big-state plane backend needs a host-known bit "
-                    "cursor to resume the rotation schedule; call update "
-                    "outside jit/scan, or construct the decoder with "
-                    "backend='xla' for fully-traced update pipelines")
-            phase0 = cursor % (self.code.K - 1)
-            # one-shot fill: the kernel's padded output buffer matches
-            # the (equally padded) state buffer exactly - adopt it
-            from .ops import bigstate_pallas
-            tb = bigstate_pallas.time_block_rows(self.spec)
-            full = cursor == 0 and -(-nbits // tb) * tb == phys_rows
-            if state.decisions is None and not full:
-                raise ValueError(
-                    "decision buffer was deferred (reset with "
-                    "_alloc_decisions=False) but this update is not a "
-                    "one-shot full fill")
+                # Fully-traced pipeline (update under jit/scan): the
+                # phase is selected at run time with lax.switch over the
+                # K-1 pre-built kernel variants (phase0=-1 sentinel).
+                # First trace compiles all K-1 variants.
+                if state.decisions is None:
+                    raise ValueError(
+                        "decision buffer was deferred (reset with "
+                        "_alloc_decisions=False); traced updates need an "
+                        "allocated buffer")
+                phase0 = -1
+            else:
+                phase0 = cursor % (self.code.K - 1)
+                # one-shot fill: the kernel's padded output buffer matches
+                # the (equally padded) state buffer exactly - adopt it
+                from .ops import bigstate_pallas
+                tb = bigstate_pallas.time_block_rows(self.spec)
+                full = cursor == 0 and -(-nbits // tb) * tb == phys_rows
+                if state.decisions is None and not full:
+                    raise ValueError(
+                        "decision buffer was deferred (reset with "
+                        "_alloc_decisions=False) but this update is not a "
+                        "one-shot full fill")
         new = self._update_jit(self.spec, backend, phase0, full, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
@@ -265,9 +271,28 @@ class ViterbiDecoder:
         symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
         if backend == "plane":
             from .ops import bigstate_pallas
-            metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
-                spec, state.metrics, symbols, phase0=phase0,
-                keep_padding=full)
+            if phase0 < 0:
+                # traced cursor: runtime phase select over the K-1
+                # compiled rotation variants (the schedule is a static
+                # kernel parameter, viterbi layout invariant - see
+                # acs_plane_pallas phase0)
+                n = spec.K - 1
+
+                def variant(k):
+                    def br(operands):
+                        m, syms = operands
+                        return bigstate_pallas.acs_plane_pallas(
+                            spec, m, syms, phase0=k)
+                    return br
+
+                metrics, packed, acc = jax.lax.switch(
+                    state.bit_cursor % n,
+                    [variant(k) for k in range(n)],
+                    (state.metrics, symbols))
+            else:
+                metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
+                    spec, state.metrics, symbols, phase0=phase0,
+                    keep_padding=full)
             nrows = symbols.shape[1]
             if full:
                 # one-shot fill: the kernel's own (padded) output IS the

@@ -58,7 +58,7 @@ from .bigstate import _rotr
 from .jax_core import StaticSpec
 
 __all__ = ["supports", "acs_plane_pallas", "chainback_plane",
-           "walk_plane", "decode_big_pallas"]
+           "walk_plane", "walk_plane_frames", "decode_big_pallas"]
 
 # Production defaults, measured on v5e (tools/bench_plane.py, Cassini
 # SOFT16 B=256 T=1024, two-candidate butterfly + fast_bm): G=8 34.9,
@@ -72,13 +72,13 @@ LANE_BITS = 7
 
 
 def supports(spec: StaticSpec) -> bool:
-    """True when this kernel handles the code: big-state, a whole number
-    of 128-lane rows, and chunk slabs that stay 8-sublane aligned."""
+    """True when this kernel handles the code: big-state with a whole
+    number of 32-sublane word rows (any S >= 8192 with S % 128 == 0 -
+    per-chunk decision slabs are stored as full-dimension blocks, so no
+    8-sublane alignment constraint remains on n * WRr)."""
     if spec.S <= jax_core.MAX_LANE_STATES or spec.S % COLS:
         return False
-    n = spec.K - 1
-    wr = (spec.S // COLS) // 32
-    return wr >= 1 and (n * wr) % 8 == 0
+    return (spec.S // COLS) // 32 >= 1
 
 
 def _phase_bt_planes(spec: StaticSpec, signs: bool) -> np.ndarray:
@@ -127,7 +127,6 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
     saturating = spec.saturating
     thr = spec.renorm_threshold
     max_error = spec.max_error
-    slab_rows = n * WRr
 
     def roll(x, shift, axis):
         shift %= x.shape[axis]
@@ -235,8 +234,10 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                         (dbit.reshape(WRr, 32, COLS) << shifts).sum(axis=1))
             for g in range(G):
                 slab = jnp.concatenate(words[g], axis=0)  # (n*WRr, COLS)
-                off = pl.multiple_of(c * slab_rows, slab_rows)
-                p_ref[0, g, pl.ds(off, slab_rows), :] = slab
+                # chunk-indexed full-dimension store: the (slab_rows,
+                # COLS) trailing block equals its array dims, so odd
+                # n*WRr (e.g. K=14: 26) needs no sublane alignment
+                p_ref[0, g, c] = slab
             return 0
 
         jax.lax.fori_loop(0, chunks, chunk_body, 0)
@@ -250,7 +251,8 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
                       interpret: bool, phase0: int):
     """Padded launch.  init: (F, G, ROWS, COLS) i32 plane metrics;
     sym: (F, NTB, TB*R, G) i32.  Returns (m (F, G, ROWS, COLS),
-    packed (F, G, NTB*TB*WRr, COLS), acc (F, G, COLS))."""
+    packed (F, G, NTB*chunks, (K-1)*WRr, COLS) - chunk-major slabs, a
+    dense row-major view of (F, G, steps, WRr, COLS), acc (F, G, COLS))."""
     n = spec.K - 1
     ROWS = spec.S // COLS
     WRr = ROWS // 32
@@ -276,7 +278,8 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, G, ROWS, COLS), lambda f, tb: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, TB * WRr, COLS), lambda f, tb: (f, 0, tb, 0),
+            pl.BlockSpec((1, G, chunks, n * WRr, COLS),
+                         lambda f, tb: (f, 0, tb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, COLS), lambda f, tb: (f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -284,7 +287,8 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
     )
     out_shapes = (
         jax_core.sds_like(init, (F, G, ROWS, COLS), jnp.int32),
-        jax_core.sds_like(init, (F, G, NTB * TB * WRr, COLS), jnp.int32),
+        jax_core.sds_like(init, (F, G, NTB * chunks, n * WRr, COLS),
+                          jnp.int32),
         jax_core.sds_like(init, (F, G, COLS), jnp.int32),
     )
     steps = NTB * TB
@@ -432,20 +436,248 @@ def walk_plane(spec: StaticSpec, rows: jnp.ndarray,
     return jnp.swapaxes(bits, 0, 1)
 
 
+# Chainback-walk kernel defaults (measured on v5e, Cassini B=256
+# T=1024, chained-marginal protocol): the walk is VPU-issue-bound on
+# the per-row masked select, so wide frame groups are the lever -
+# G=32 1.67e8, G=128 2.71e8, G=256 2.71e8 bit/s (plateau).  Per-row
+# values ride lane-replicated (G, COLS) tiles ((G, 1) chains measured
+# ~3 us/row from per-op layout shuffles) and the lane sum-broadcast is
+# one exact f32 MXU pass over {0,1} operands.
+WALK_FRAMES_PER_GROUP = 128
+WALK_SLAB = 8                    # rows per aligned inner-loop slab
+
+
+def _pick_walk_tb(T_phys: int, G: int, WRr: int) -> int:
+    """Largest multiple-of-8 divisor of T_phys whose (G, tb, WRr*128)
+    input block stays within ~4 MiB (the body is an 8-row fori slab, so
+    tb no longer scales the compiled module size)."""
+    budget = 4 * 1024 * 1024
+    per_row = G * WRr * COLS * 4
+    cap = max(1, budget // per_row)
+    best = 1
+    for d in range(WALK_SLAB, min(T_phys, cap) + 1, WALK_SLAB):
+        # Mosaic block rule: the sublane (second-minor) block dim must
+        # be a multiple of 8; the in-kernel slab stores need it too
+        if T_phys % d == 0:
+            best = d
+    return best
+
+
+def _make_walk_kernel(spec: StaticSpec, G: int, tb: int,
+                      whole: bool = False):
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    P = WRr * COLS                   # flattened plane positions per row
+    mask = (1 << n) - 1
+    # ``whole``: tb spans the whole array (single row block per frame
+    # group, T_phys <= 32) - fully unrolled, whole-ref loads/stores, so
+    # no 8-row alignment is needed and odd row counts stay on the kernel
+    U = tb if whole else WALK_SLAB
+
+    def kernel(packed_ref, end_ref, rots_ref, valid_ref, bits_ref,
+               state_scr):
+        rb = pl.program_id(1)
+        nrb = pl.num_programs(1)
+        row0 = (nrb - 1 - rb) * tb    # global row of this block's oldest
+
+        @pl.when(rb == 0)
+        def _init():
+            # state rides LANE-REPLICATED (G, COLS): every per-row value
+            # stays a whole native (8, 128) tile.  (G, 1)-shaped chains
+            # measured ~3 us/row - Mosaic keeps them in 1-lane slivers
+            # with a layout shuffle per op; replicated tiles are pure
+            # elementwise issue.
+            state_scr[:] = jnp.broadcast_to(end_ref[0], (G, COLS))
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, COLS), 1)
+        # exact lane sum-broadcast in one MXU pass: operands are {0,1}
+        ones = jnp.ones((COLS, COLS), jnp.float32)
+
+        def slab_body(gi, state):
+            # slabs walk newest -> oldest; rows unroll within one slab
+            if whole:
+                base = 0
+                slab = packed_ref[0]                     # (G, U, P)
+            else:
+                base = pl.multiple_of((tb // U - 1 - gi) * U, U)
+                slab = packed_ref[0, :, pl.ds(base, U), :]   # (G, U, P)
+            cols = [None] * U
+            for i in range(U):
+                t_local = U - 1 - i
+                # rots/valid ride SMEM un-blocked (rank-1 blocks must
+                # span the array); index at the global row
+                rot = rots_ref[row0 + base + t_local]
+                ok = valid_ref[row0 + base + t_local] != 0
+                # slot of the decision for the current state:
+                # q = rotr_n(state, rot) (walk_plane contract)
+                q = ((state >> rot) | (state << (n - rot))) & mask
+                qrow = q >> LANE_BITS
+                sel_c = iota_c == (q & (COLS - 1))
+                shift = qrow & 31
+                wr_id = qrow >> 5
+                # extract the decision bit per word-row sub-block FIRST,
+                # so the masked accumulate carries only {0,1} and the
+                # lane reduce-broadcast below is f32-exact
+                acc = jnp.zeros((G, COLS), jnp.int32)
+                for w in range(WRr):
+                    word_w = slab[:, t_local, w * COLS:(w + 1) * COLS]
+                    dbit_w = (word_w >> shift) & 1
+                    m_w = jnp.logical_and(sel_c, wr_id == w)
+                    acc = acc | jnp.where(m_w, dbit_w, 0)
+                # <=1 nonzero lane per frame row; the ones-matmul both
+                # sums the lanes and broadcasts the result to every lane
+                d = jax.lax.dot_general(
+                    acc.astype(jnp.float32), ones,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                new_state = (state >> 1) | (d << (n - 1))
+                state = jnp.where(ok, new_state, state)
+                cols[t_local] = d[:, 0:1]                # (G, 1)
+            # bits block is (tb, G): time on sublanes so both the store
+            # offset (multiple of U=8) and the block shape meet
+            # Mosaic's (8, 128)-divisible-or-full rule at any tb
+            slab_bits = jnp.transpose(jnp.concatenate(cols, axis=1))
+            if whole:
+                bits_ref[0] = slab_bits
+            else:
+                bits_ref[0, pl.ds(base, U), :] = slab_bits
+            return state
+
+        if whole:
+            state_scr[:] = slab_body(0, state_scr[:])
+        else:
+            state_scr[:] = jax.lax.fori_loop(0, tb // U, slab_body,
+                                             state_scr[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def _walk_frames_padded(spec: StaticSpec, packed: jnp.ndarray,
+                        ends: jnp.ndarray, rots: jnp.ndarray,
+                        valid: jnp.ndarray, G: int, tb: int,
+                        whole: bool, interpret: bool) -> jnp.ndarray:
+    """packed: (F, G, T_phys, WRr*COLS) i32 (plane flattened row-major,
+    so flat position = wordrow * COLS + lane); ends: (F, G, 1) i32;
+    rots/valid: (T_phys,) i32.  Returns (F, T_phys, G) i32 path bits."""
+    F = packed.shape[0]
+    T_phys = packed.shape[2]
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    NRB = T_phys // tb
+
+    kernel = _make_walk_kernel(spec, G, tb, whole)
+    grid_spec = pl.GridSpec(
+        grid=(F, NRB),
+        in_specs=[
+            pl.BlockSpec((1, G, tb, WRr * COLS),
+                         lambda f, rb: (f, 0, NRB - 1 - rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1), lambda f, rb: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_phys,), lambda f, rb: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T_phys,), lambda f, rb: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, G),
+                               lambda f, rb: (f, NRB - 1 - rb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, COLS), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax_core.sds_like(packed, (F, T_phys, G), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(packed, ends, rots, valid)
+
+
+def walk_plane_frames(spec: StaticSpec, packed: jnp.ndarray,
+                      start_state: jnp.ndarray, *, rots=None, valid=None,
+                      frames_per_group: int = WALK_FRAMES_PER_GROUP,
+                      use_pallas: Optional[bool] = None,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Traceback walk over *frame-major* slot-order decision rows.
+
+    packed: (B, N, WRr, COLS) i32 - the native layout of the plane
+    ACS output / a plane DecoderState's decision buffer; walking it
+    directly avoids the (GB-scale) transpose that :func:`walk_plane`'s
+    time-major input forces on production buffers.  Same row semantics
+    as walk_plane: the decision for new state s' written at global step
+    t sits at slot q = rotr_n(s', rots[row]) with rots defaulting to
+    (row + 1) mod n; ``valid`` masks rows to skip.  Returns (B, N)
+    uint8 per-row path bits.
+
+    On TPU this runs a Pallas kernel (grid = frame-groups x reversed
+    row blocks, walk state in VMEM scratch; the per-row decision word
+    is a masked reduction over the frame's own (WRr, COLS) plane, with
+    the rotation amounts streamed through SMEM so chunked/streaming
+    walks reuse one compile).  Elsewhere - or when the row count does
+    not block evenly - it falls back to the XLA scan.
+    Walk as viterbi_decoder_core.h:223-235.
+    """
+    n = spec.K - 1
+    B, N = packed.shape[0], packed.shape[1]
+    WRr = (spec.S // COLS) // 32
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_pallas is None:
+        use_pallas = True
+    G = max(1, min(frames_per_group, B))
+    tb = _pick_walk_tb(N, G, WRr)
+    whole = False
+    if tb < WALK_SLAB and N <= 32:
+        # short histories (tests, small streaming windows): one
+        # whole-array row block per frame group, fully unrolled
+        tb, whole = N, True
+    if not use_pallas or tb < WALK_SLAB and not whole:
+        rows = jnp.transpose(packed, (1, 2, 3, 0))
+        return walk_plane(spec, rows, start_state, rots=rots, valid=valid)
+    if rots is None:
+        rots = ((np.arange(N) + 1) % n).astype(np.int32)
+    if valid is None:
+        valid = np.ones(N, np.int32)
+    B_pad = -(-B // G) * G
+    F = B_pad // G
+    p = packed.astype(jnp.int32)
+    if B_pad != B:
+        p = jnp.pad(p, ((0, B_pad - B), (0, 0), (0, 0), (0, 0)))
+    p = p.reshape(F, G, N, WRr * COLS)
+    ends = jnp.pad(start_state.astype(jnp.int32), (0, B_pad - B))
+    ends = ends.reshape(F, G, 1)
+    bits = _walk_frames_padded(
+        spec, p, ends, jnp.asarray(rots, jnp.int32).reshape(N),
+        jnp.asarray(valid).astype(jnp.int32).reshape(N), G, tb,
+        whole, bool(interpret))
+    bits = jnp.transpose(bits, (0, 2, 1))      # (F, G, N) - small tensor
+    return bits.reshape(B_pad, N)[:B].astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
                     end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
     """Traceback over (B, T, WRr, COLS) slot-order packed rows
     (acs_plane_pallas output / a plane-backend ``DecoderState``'s
-    decision buffer), T >= total_bits + K - 1."""
+    decision buffer), T >= total_bits + K - 1.
+
+    Walks the whole physical buffer in its native frame-major layout
+    (rows past total_bits + K - 1 masked invalid; the K-1 head rows walk
+    last, after every returned bit is already emitted - their state
+    updates are dead).  This keeps the hot path on the Pallas walk
+    kernel with zero slicing/transpose of the (GB-scale) buffer; only
+    the (B, T) bit rows are sliced at the end.
+    """
     n = spec.K - 1
-    if packed.shape[1] < total_bits + n:
+    T_phys = packed.shape[1]
+    if T_phys < total_bits + n:
         raise ValueError(
-            f"decision history has {packed.shape[1]} rows < "
+            f"decision history has {T_phys} rows < "
             f"total_bits + K - 1 = {total_bits + n}")
-    rows = packed[:, n:n + total_bits]        # (B, bits, WRr, COLS)
-    rows = jnp.transpose(rows, (1, 2, 3, 0))  # (bits, WRr, COLS, B)
-    return walk_plane(spec, rows, end_state)
+    valid = (np.arange(T_phys) < total_bits + n).astype(np.int32)
+    bits = walk_plane_frames(spec, packed, end_state, valid=valid)
+    return bits[:, n:n + total_bits]
 
 
 def decode_big_pallas(spec: StaticSpec, metrics: jnp.ndarray,

@@ -37,7 +37,35 @@ from ..ops import jax_core
 from ..ops.jax_core import StaticSpec
 from .mesh import make_mesh, pvary
 
-__all__ = ["decode_stream_sp", "dryrun"]
+__all__ = ["decode_stream_sp", "SpResult", "dryrun"]
+
+
+class SpResult(tuple):
+    """(bits, halo_mismatches) - the decode plus its convergence
+    diagnostic.
+
+    ``halo_mismatches`` counts disagreements over the *duplicated* halo
+    bits: every interior tile boundary is decoded twice - once by the
+    owner (after its warm-down through the right halo) and once by the
+    left neighbour (whose warm-down walk passes through the same rows) -
+    so an undersized ``overlap`` that would silently corrupt interior
+    bits shows up as a nonzero count instead (SURVEY.md section 5
+    long-context; the probabilistic guarantee in this module's
+    docstring becomes observable).  0 means every boundary converged.
+    """
+
+    __slots__ = ()
+
+    def __new__(cls, bits, halo_mismatches):
+        return tuple.__new__(cls, (bits, halo_mismatches))
+
+    @property
+    def bits(self):
+        return self[0]
+
+    @property
+    def halo_mismatches(self):
+        return self[1]
 
 
 def _path_bits_scan(spec: StaticSpec, rows: jnp.ndarray,
@@ -110,6 +138,31 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
 
     vary_axes = ("time",) if data_axis is None else (data_axis, "time")
 
+    # Boundary-state sentinel width: the traceback state IS the shift
+    # register of the last K-1 path bits, so bit-equality over the
+    # OLDEST K-1 halo rows is exactly equivalent to the two walks
+    # entering the boundary in the same trellis state - which is the
+    # invariant that makes the interior decode exact.  (The *newest*
+    # halo bits are legitimately unconverged: the warm-down walk starts
+    # unprimed there, so comparing all O rows would false-positive on
+    # any noisy channel.)
+    J = min(O, spec.K - 1)
+
+    def _halo_mismatches(own_first, halo_pred, idx):
+        """Convergence diagnostic: the oldest J halo rows are decoded
+        both by their owner (own_first, authoritative) and by the left
+        neighbour's warm-down walk (halo_pred, its discarded halo
+        bits).  Ship the owner's copy left and count disagreements;
+        psum to a replicated scalar.  Nonzero means an undersized
+        ``overlap`` failed to converge at some tile boundary."""
+        recv = jax.lax.ppermute(own_first, "time", left_perm)
+        diff = jnp.sum((halo_pred != recv).astype(jnp.int32))
+        # the last device has no right neighbour (its recv is zeros)
+        diff = jnp.where(idx < ntime - 1, diff, 0)
+        for ax in vary_axes:
+            diff = jax.lax.psum(diff, ax)
+        return diff
+
     if use_pallas:
         from ..ops import bigstate_pallas
         plane = bigstate_pallas.supports(spec)       # implies big-state
@@ -163,13 +216,17 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         rots_ext = jnp.concatenate([rots_own, rots_halo]).astype(jnp.int32)
         start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
         start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
-        bits_interior = bigstate_pallas.walk_plane(
-            spec, rows_ext, start_interior, rots=rots_ext)[:, :L]
+        walk_full = bigstate_pallas.walk_plane_frames(
+            spec, ext_dec, start_interior, rots=rots_ext)
+        bits_interior = walk_full[:, :L]
+        halo_pred = walk_full[:, L:]             # (B, O) duplicated bits
         grow = idx * L + jax.lax.iota(jnp.int32, L)
-        bits_last = bigstate_pallas.walk_plane(
-            spec, jnp.transpose(packed, (1, 2, 3, 0)), start_last,
+        bits_last = bigstate_pallas.walk_plane_frames(
+            spec, packed, start_last,
             rots=rots_own.astype(jnp.int32), valid=grow < total_rows)
-        return jnp.where(idx == ntime - 1, bits_last, bits_interior)
+        bits = jnp.where(idx == ntime - 1, bits_last, bits_interior)
+        mism = _halo_mismatches(bits[:, :J], halo_pred[:, :J], idx)
+        return bits, mism
 
     def shard_fn(sym_blk):
         # sym_blk: (B, L, R) - this device's tile.
@@ -211,14 +268,17 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         # end_state.
         start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
         start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
-        bits_interior = _path_bits_scan(spec, ext_dec, start_interior)[:L]
+        walk_full = _path_bits_scan(spec, ext_dec, start_interior)
+        bits_interior = walk_full[:L]
+        halo_pred = walk_full[L:]                # (O, B) duplicated bits
         # Last tile: mask stream-padding rows so the walk begins at the
         # true final row with end_state.
         grow = idx * L + jax.lax.iota(jnp.int32, L)
         bits_last = _path_bits_scan(spec, packed, start_last,
                                     valid=grow < total_rows)
         bits = jnp.where(idx == ntime - 1, bits_last, bits_interior)
-        return jnp.swapaxes(bits, 0, 1)                    # (B, L)
+        mism = _halo_mismatches(bits[:J], halo_pred[:J], idx)
+        return jnp.swapaxes(bits, 0, 1), mism              # (B, L), ()
 
     kwargs = {}
     if use_pallas and jax.default_backend() != "tpu":
@@ -227,9 +287,10 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         kwargs["check_vma"] = False
     fn = shard_map(shard_fn_plane if plane else shard_fn, mesh=mesh,
                    in_specs=(P(data_axis, "time", None),),
-                   out_specs=P(data_axis, "time"),
+                   out_specs=(P(data_axis, "time"), P()),
                    **kwargs)
-    return jax.jit(fn)(symbols)
+    bits, mism = jax.jit(fn)(symbols)
+    return SpResult(bits, mism)
 
 
 def dryrun(n_devices: int) -> None:
@@ -256,8 +317,9 @@ def dryrun(n_devices: int) -> None:
     sym_arr = np.zeros((1, pad_T, code.R), np.int32)
     sym_arr[0, :T] = syms.reshape(T, code.R)
 
-    bits = decode_stream_sp(spec, mesh, jnp.asarray(sym_arr),
-                            overlap=64, end_state=0, total_rows=T)
+    bits, mism = decode_stream_sp(spec, mesh, jnp.asarray(sym_arr),
+                                  overlap=64, end_state=0, total_rows=T)
+    assert int(mism) == 0, f"halo diagnostic reported {int(mism)} mismatches"
     got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
     expect = numpy_ref.bytes_to_bits(data)
     nerr = int((got != expect).sum())

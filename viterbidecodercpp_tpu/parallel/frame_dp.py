@@ -135,8 +135,10 @@ def dryrun(n_devices: int) -> None:
         pad_T2 = -(-T2 // ntime) * ntime
         arr2 = np.zeros((2, pad_T2, code.R), np.int32)
         arr2[:, :T2] = s2.reshape(2, T2, code.R)
-        out2 = block_sp.decode_stream_sp(spec, mesh2, jnp.asarray(arr2),
-                                         overlap=64, total_rows=T2)
+        out2, mism2 = block_sp.decode_stream_sp(spec, mesh2,
+                                                jnp.asarray(arr2),
+                                                overlap=64, total_rows=T2)
+        assert int(mism2) == 0, "halo diagnostic reported mismatches"
         got2 = np.asarray(out2)[:, code.K - 1:code.K - 1 + bits2]
         expect2 = np.unpackbits(d2, axis=1, bitorder="big")
         nerr2 = int((got2 != expect2).sum())

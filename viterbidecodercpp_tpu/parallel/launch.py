@@ -255,8 +255,9 @@ def dryrun_worker(coordinator_address: str, num_processes: int,
         loc = _local_block(arr, mesh_sp, ("data" if has_data else None,
                                           "time", None), process_id)
         sym_g2 = global_array(mesh_sp, pspec, loc)
-        out = block_sp.decode_stream_sp(spec, mesh_sp, sym_g2,
-                                        overlap=64, total_rows=T2)
+        out, mism = block_sp.decode_stream_sp(spec, mesh_sp, sym_g2,
+                                              overlap=64, total_rows=T2)
+        assert int(mism) == 0, "halo diagnostic reported mismatches"
         # replicate the result for the check (an all-gather over the mesh)
         rep = jax.jit(lambda x: x,
                       out_shardings=NamedSharding(mesh_sp, P()))(out)

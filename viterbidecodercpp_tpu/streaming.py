@@ -123,19 +123,21 @@ class StreamingDecoder:
 
     def _push_plane(self, state: StreamingState, symbols):
         """Plane-kernel push: the ACS rotation schedule is keyed to the
-        global trellis step, so the stream position must be host-known
-        (same constraint as ViterbiDecoder.update on this backend).
-        Chunk sizes that are multiples of K-1 reuse one compiled kernel.
+        global trellis step.  With a host-known stream position the
+        matching kernel variant is chosen directly (chunk sizes that are
+        multiples of K-1 reuse one compiled kernel); under jit/scan the
+        phase is selected at run time with lax.switch over the K-1
+        variants (first trace compiles all of them).
         """
         n = self.code.K - 1
         rows = getattr(state, "_host_rows", None)
-        if rows is None:
-            if isinstance(state.rows_seen, jax.core.Tracer):
-                raise ValueError(
-                    "plane-backend streaming needs a host-known stream "
-                    "position; call push outside jit, or use "
-                    "backend='xla'")
+        if rows is None and not isinstance(state.rows_seen,
+                                           jax.core.Tracer):
             rows = int(state.rows_seen)
+        if rows is None:
+            # fully-traced stream position: runtime phase select
+            return _push_plane_traced_jit(self.spec, self.window,
+                                          self.chunk, state, symbols)
         phase0 = rows % n
         # per-history-row rotation amounts for the walk: history row i is
         # global step (rows + chunk - window + i); decisions for step t
@@ -184,6 +186,45 @@ def _push_jit(spec, backend, window, chunk, state: StreamingState,
     return new_state, bits, valid
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(3,))
+def _push_plane_traced_jit(spec, window, chunk, state: StreamingState,
+                           symbols: jnp.ndarray):
+    """Plane push with a traced stream position: lax.switch picks the
+    phase variant at run time, and the walk rotations are computed on
+    device from ``rows_seen`` (they enter the walk kernel as data)."""
+    from .ops import bigstate_pallas
+
+    n = spec.K - 1
+    symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
+
+    def variant(k):
+        def br(operands):
+            m, syms = operands
+            return bigstate_pallas.acs_plane_pallas(spec, m, syms,
+                                                    phase0=k)
+        return br
+
+    metrics, packed, _ = jax.lax.switch(
+        state.rows_seen % n, [variant(k) for k in range(n)],
+        (state.metrics, symbols))
+
+    history = jnp.concatenate([state.history[:, chunk:], packed], axis=1)
+    rows_seen = state.rows_seen + chunk
+
+    best = jnp.argmin(metrics, axis=0).astype(jnp.int32)
+    g0 = state.rows_seen + chunk - window
+    rots = (jnp.arange(window, dtype=jnp.int32) + g0 + 1) % n
+    bits_all = bigstate_pallas.walk_plane_frames(spec, history, best,
+                                                 rots=rots)
+    bits = bits_all[:, :chunk]
+
+    new_state = StreamingState(metrics=metrics, history=history,
+                               rows_seen=rows_seen)
+    valid = rows_seen >= window
+    return new_state, bits, valid
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
                    donate_argnums=(4,))
 def _push_plane_jit(spec, window, chunk, phase0, state: StreamingState,
@@ -205,9 +246,8 @@ def _push_plane_jit(spec, window, chunk, phase0, state: StreamingState,
     rows_seen = state.rows_seen + chunk
 
     best = jnp.argmin(metrics, axis=0).astype(jnp.int32)       # (B,)
-    rows = jnp.transpose(history, (1, 2, 3, 0))    # (window, WRr, COLS, B)
-    bits_all = bigstate_pallas.walk_plane(spec, rows, best,
-                                          rots=rots)           # (B, window)
+    bits_all = bigstate_pallas.walk_plane_frames(
+        spec, history, best, rots=rots)                        # (B, window)
     bits = bits_all[:, :chunk]
 
     new_state = StreamingState(metrics=metrics, history=history,
