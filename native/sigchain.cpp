@@ -94,7 +94,21 @@ class ThreadPool {
   bool stop_ = false;
 };
 
-// Shard [0, total) over the pool in contiguous ranges and block until done.
+// One persistent process-wide pool, sized to the hardware and created on
+// first parallel call - like the reference harness's long-lived pool
+// (run_benchmark.cpp:144), instead of spawning OS threads per call.
+ThreadPool& SharedPool() {
+  static ThreadPool pool(std::thread::hardware_concurrency()
+                             ? std::thread::hardware_concurrency()
+                             : 1);
+  return pool;
+}
+
+// Shard [0, total) over the shared pool in contiguous ranges and block
+// until done.  ``n_threads`` caps the number of shards (<=0 = hardware
+// concurrency); tasks are serialized behind a mutex so concurrent
+// ParallelFor calls from different host threads do not interleave their
+// WaitAll conditions.
 void ParallelFor(size_t total, int n_threads,
                  const std::function<void(size_t, size_t)>& fn) {
   size_t hw = std::thread::hardware_concurrency();
@@ -104,7 +118,9 @@ void ParallelFor(size_t total, int n_threads,
     return;
   }
   n = std::min(n, total);
-  ThreadPool pool(n);
+  static std::mutex for_mu;
+  std::lock_guard<std::mutex> guard(for_mu);
+  ThreadPool& pool = SharedPool();
   size_t chunk = (total + n - 1) / n;
   for (size_t i = 0; i < n; ++i) {
     size_t lo = i * chunk;
@@ -157,7 +173,9 @@ Encoder* MakeEncoder(int K, int R, const uint64_t* G) {
   e->G.assign(G, G + R);
   e->reg_mask = (K >= 64) ? ~0ull : ((1ull << K) - 1);
   // The reference notes the byte LUT is inappropriate for large K
-  // (convolutional_encoder_lookup.h:11-14); cap the table at 2^16 states.
+  // (convolutional_encoder_lookup.h:11-14); gate it at K <= 9 (256
+  // states x 256 byte values = 64Ki entries), past which the bitwise
+  // path below wins on cache footprint.
   size_t S = 1ull << (K - 1);
   if (K <= 9 && R <= 8) {
     size_t entries = S << 8;

@@ -44,3 +44,22 @@ def test_depuncture_inverts_puncture():
     out = np.asarray(enc.depuncture(jnp.asarray(punctured), mask, 0))
     np.testing.assert_array_equal(out[0][mask], full[0][mask])
     assert (out[0][~mask] == 0).all()
+
+
+def test_byte_stream_encoder_matches_bulk():
+    """consume_byte parity with the bulk encoders: the reference ABC
+    emits R bytes per input byte, encoded bits packed LSB-first in
+    t*R + j stream order (convolutional_encoder_shift_register.h:40-62).
+    """
+    from viterbidecodercpp_tpu import get_code
+    code = get_code("Voyager")
+    rng = np.random.RandomState(2)
+    data = rng.randint(0, 256, 16, dtype=np.uint8)
+    se = enc.ByteStreamEncoder(code)
+    out = se.consume_bytes(data)                 # (16, R)
+    stream_bits = np.unpackbits(out.reshape(-1), bitorder="little")
+    bulk = ref.encode_bits(code, ref.bytes_to_bits(data), terminate=False)
+    np.testing.assert_array_equal(stream_bits, bulk)
+    # reset() restarts the register: re-encoding gives identical output
+    se.reset()
+    np.testing.assert_array_equal(se.consume_byte(data[0]), out[0])

@@ -15,7 +15,8 @@ from viterbidecodercpp_tpu.ops import numpy_ref
 from viterbidecodercpp_tpu.utils import native
 
 pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native sigchain library not built")
+    not native.ensure_built(),   # explicit build opt-in (available() is pure)
+    reason="native sigchain library not built")
 
 
 @pytest.mark.parametrize("code", COMMON_CODES, ids=lambda c: c.name)

@@ -1,0 +1,32 @@
+"""Shared CLI helpers for the harness tools (parity with
+examples/helpers/cli_filters.h:68-186: the ``-l`` registry listing and
+the -c/-d/-s filter conventions)."""
+
+import sys
+
+
+def print_code_list(file=None):
+    """Print the common-code registry like cli_print_codes
+    (cli_filters.h:68-86): ID | name | K R | coefficients."""
+    import viterbidecodercpp_tpu as vt
+
+    file = file or sys.stderr
+    width = max(len(c.name) for c in vt.COMMON_CODES)
+    print(f"ID | {'Name':>{width}} |  K  R | Coefficients", file=file)
+    for i, code in enumerate(vt.COMMON_CODES):
+        coeffs = ",".join(str(g) for g in code.G)
+        print(f"{i:2d} | {code.name:>{width}} | {code.K:2d} {code.R:2d} | "
+              f"[{coeffs}]", file=file)
+
+
+def add_list_flag(ap):
+    ap.add_argument("-l", action="store_true",
+                    help="list the common-code registry and exit")
+
+
+def handle_list_flag(args) -> bool:
+    """Returns True (after printing) when -l was given; callers exit 0."""
+    if getattr(args, "l", False):
+        print_code_list()
+        return True
+    return False

@@ -166,7 +166,12 @@ def main():
     ap.add_argument("-M", type=int, default=256, help="input bytes/frame")
     ap.add_argument("-T", type=float, default=2.0, help="seconds per combo")
     ap.add_argument("-o", default=None, help="output file (default stdout)")
+    sys.path.insert(0, "tools")
+    from cli_common import add_list_flag, handle_list_flag
+    add_list_flag(ap)
     args = ap.parse_args()
+    if handle_list_flag(args):
+        return 0
 
     on_tpu = jax.default_backend() == "tpu"
     backends = [args.s.upper()] if args.s else (

@@ -14,7 +14,9 @@ current sources produces curves matching this tool point-for-point - see
 data_ber_reference_voyager.json, regenerated on this host.
 
 Flags mirror the reference: -L traceback bytes, -n max error bits,
--D max points, -S seed, -k bit-budget scale, -c/-d filters, -B batch.
+-D max points, -S seed, -k bit-budget scale, -T per-point wall-clock
+timeout (run_snr_ber.cpp:361-379), -c/-d/-s filters, -l registry list
+(cli_filters.h:143-186), -B batch.
 """
 
 import argparse
@@ -22,11 +24,11 @@ import json
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 
 def main():
-    import viterbidecodercpp_tpu as vt
-    from viterbidecodercpp_tpu import ber
+    from cli_common import add_list_flag, handle_list_flag
 
     ap = argparse.ArgumentParser()
     ap.add_argument("-L", type=int, default=256, help="traceback bytes/frame")
@@ -34,16 +36,31 @@ def main():
     ap.add_argument("-D", type=int, default=24, help="max data points")
     ap.add_argument("-S", type=int, default=0, help="random seed")
     ap.add_argument("-k", type=float, default=1.0, help="bit budget scale")
+    ap.add_argument("-T", type=float, default=None,
+                    help="per-point wall-clock timeout in seconds")
     ap.add_argument("-B", type=int, default=256, help="frames per device batch")
     ap.add_argument("-c", type=int, default=None, help="code index filter")
     ap.add_argument("-d", default=None, choices=["soft16", "soft8", "hard8"])
+    ap.add_argument("-s", default=None, choices=["xla", "pallas"],
+                    help="backend filter (the reference's SIMD-kernel "
+                         "selector -s; here kernels are backends)")
+    add_list_flag(ap)
     ap.add_argument("-o", default=None, help="output file (default stdout)")
     ap.add_argument("--host-chain", action="store_true",
                     help="generate the channel on the native C++ runtime "
                          "(mt19937, reference-identical maths) instead of "
                          "on device")
     args = ap.parse_args()
+    if handle_list_flag(args):
+        return 0
+    if args.T is not None and args.T <= 0:
+        print(f"Timeout must be > 0, got {args.T}", file=sys.stderr)
+        return 1
 
+    import viterbidecodercpp_tpu as vt
+    from viterbidecodercpp_tpu import ber
+
+    use_pallas = None if args.s is None else (args.s == "pallas")
     rows = []
     for ci, code in enumerate(vt.COMMON_CODES):
         if args.c is not None and ci != args.c:
@@ -56,7 +73,9 @@ def main():
                             max_points=args.D,
                             block_bits=args.L * 8, batch=args.B,
                             max_errors=args.n, bits_scale=args.k,
-                            host_chain=args.host_chain)
+                            host_chain=args.host_chain,
+                            use_pallas=use_pallas,
+                            timeout_seconds=args.T)
             for i, p in enumerate(res.points):
                 print(f"name='{code.name}',K={code.K},R={code.R},"
                       f"decode={dt.value},iter={i},EbNo_dB={p.EbNo_dB:.1f},"
@@ -64,8 +83,8 @@ def main():
             rows.append({
                 "name": code.name,
                 "decode_type": dt.value,
-                "simd_type": ("PALLAS+HOSTCHAIN" if args.host_chain
-                              else "PALLAS"),
+                "simd_type": ((args.s or "pallas").upper()
+                              + ("+HOSTCHAIN" if args.host_chain else "")),
                 "K": code.K,
                 "R": code.R,
                 "G": list(code.G),

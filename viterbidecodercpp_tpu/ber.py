@@ -64,10 +64,17 @@ def default_max_bits(code: CodeSpec, scale: float = 1.0) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 1, 4, 5, 6, 7, 8))
+                   static_argnums=(0, 1, 4, 5, 6))
 def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
                   EbNo_dB, block_bits: int, batch: int,
-                  max_bits: int, max_errors: int, use_pallas: bool):
+                  use_pallas: bool, stop_bits, stop_errors,
+                  bits_done0, errors0):
+    """One resumable slice of a BER point: generate/decode blocks until
+    the running totals pass the (traced) ``stop_bits`` / ``stop_errors``
+    thresholds.  Thresholds and carried totals are data, not trace
+    constants, so the wall-clock-timeout host loop (run_snr_ber.cpp's
+    third stopping rule, :361-379) re-enters one compiled program with a
+    smaller quota instead of recompiling per slice."""
     config_rate = code.R
     total_rows = block_bits + code.K - 1
 
@@ -94,7 +101,7 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
 
     def cond(carry):
         key, bits_done, errors = carry
-        return jnp.logical_and(bits_done < max_bits, errors < max_errors)
+        return jnp.logical_and(bits_done < stop_bits, errors < stop_errors)
 
     def body(carry):
         key, bits_done, errors = carry
@@ -103,35 +110,59 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
             jnp.uint8)
         floats = testsig.modulate_encode(code, tx, True)
         syms = testsig.awgn_quantize(floats, k2, EbNo_dB, config_rate,
-                                     _CONFIG_HOLDER[spec])
+                                     spec)
         rx = decode(syms)
         errors = errors + testsig.count_bit_errors(rx, tx)
         return key, bits_done + batch * block_bits, errors
 
     key, bits_done, errors = jax.lax.while_loop(
-        cond, body, (key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
-    return bits_done, errors
-
-
-# jit static-arg plumbing: DecoderConfig rides alongside the (hashable)
-# StaticSpec it was derived from.
-_CONFIG_HOLDER = {}
+        cond, body,
+        (key, jnp.asarray(bits_done0, jnp.int32),
+         jnp.asarray(errors0, jnp.int32)))
+    return key, bits_done, errors
 
 
 def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
                   key, block_bits: int = 2048, batch: int = 256,
                   max_bits: int, max_errors: int = 10_000,
-                  use_pallas: Optional[bool] = None) -> BerPoint:
-    """Measure one (code, config, Eb/No) BER point on device."""
+                  use_pallas: Optional[bool] = None,
+                  timeout_seconds: Optional[float] = None) -> BerPoint:
+    """Measure one (code, config, Eb/No) BER point on device.
+
+    ``timeout_seconds`` adds the reference's third per-point stopping
+    rule (run_snr_ber.cpp:361-379): the point also ends when its wall
+    clock expires.  The device loop then runs in bounded slices (a few
+    batches each) with the clock checked between slices; without a
+    timeout one device program runs the whole point.
+    """
+    import time
+
     spec = jax_core.make_static_spec(code, config)
-    _CONFIG_HOLDER[spec] = config
     if use_pallas is None:
         # acs_pallas/chainback_pallas fall back to the (2-step-fused) XLA
         # scan internally for state counts beyond the Pallas bound.
         use_pallas = jax.default_backend() == "tpu"
-    bits_done, errors = _point_device(
-        spec, code, key, jnp.float32(EbNo_dB), int(block_bits), int(batch),
-        int(max_bits), int(max_errors), bool(use_pallas))
+
+    def run_slice(key, stop_bits, done, errs):
+        return _point_device(
+            spec, code, key, jnp.float32(EbNo_dB), int(block_bits),
+            int(batch), bool(use_pallas), jnp.int32(stop_bits),
+            jnp.int32(max_errors), done, errs)
+
+    if timeout_seconds is None:
+        _, bits_done, errors = run_slice(key, max_bits, 0, 0)
+    else:
+        t0 = time.perf_counter()
+        slice_bits = 4 * batch * block_bits     # a few batches per slice
+        bits_done = errors = 0
+        while True:
+            key, bits_done, errors = run_slice(
+                key, min(max_bits, int(bits_done) + slice_bits),
+                bits_done, errors)
+            bits_done_i, errors_i = int(bits_done), int(errors)
+            if (bits_done_i >= max_bits or errors_i >= max_errors
+                    or time.perf_counter() - t0 > timeout_seconds):
+                break
     bits_done = int(bits_done)
     errors = int(errors)
     return BerPoint(EbNo_dB=float(EbNo_dB),
@@ -142,7 +173,8 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
 def measure_point_host_chain(code: CodeSpec, config: DecoderConfig,
                              EbNo_dB: float, *, seed: int = 0,
                              block_bits: int = 2048, batch: int = 256,
-                             max_bits: int, max_errors: int = 10_000
+                             max_bits: int, max_errors: int = 10_000,
+                             timeout_seconds: Optional[float] = None
                              ) -> BerPoint:
     """BER point with the *host* signal chain: the native C++ runtime
     generates data and runs encode -> AWGN -> quantise with mt19937
@@ -156,14 +188,21 @@ def measure_point_host_chain(code: CodeSpec, config: DecoderConfig,
 
     if not native.available():
         raise RuntimeError("native sigchain library unavailable; "
-                           "run `make -C native`")
+                           "run `make -C native` or native.ensure_built()")
     enc = native.NativeEncoder(code.K, code.G)
     dec = ViterbiDecoder(code, config, traceback_length=block_bits)
+    import time
+
     nbytes = block_bits // 8
     bits_done = 0
     errors = 0
     frame = 0
+    t0 = time.perf_counter()
     while bits_done < max_bits and errors < max_errors:
+        if (timeout_seconds is not None
+                and time.perf_counter() - t0 > timeout_seconds):
+            # third stopping rule (run_snr_ber.cpp:361-379)
+            break
         data = native.random_bytes(seed * 1_000_003 + frame,
                                    batch * nbytes).reshape(batch, nbytes)
         syms = enc.encode_awgn_quantize(
@@ -185,10 +224,12 @@ def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
           max_bits: Optional[int] = None, max_errors: int = 10_000,
           bits_scale: float = 1.0,
           use_pallas: Optional[bool] = None,
-          host_chain: bool = False) -> SweepResult:
+          host_chain: bool = False,
+          timeout_seconds: Optional[float] = None) -> SweepResult:
     """Eb/No sweep, stopping at the first zero-error point
     (run_snr_ber.cpp:318-396).  ``host_chain`` generates the channel on
-    the native C++ runtime instead of on device."""
+    the native C++ runtime instead of on device; ``timeout_seconds``
+    bounds each point's wall clock (the -T stopping rule)."""
     if max_bits is None:
         max_bits = default_max_bits(code, bits_scale)
     key = jax.random.PRNGKey(seed)
@@ -199,12 +240,14 @@ def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
         if host_chain:
             p = measure_point_host_chain(
                 code, config, EbNo, seed=seed + i, block_bits=block_bits,
-                batch=batch, max_bits=max_bits, max_errors=max_errors)
+                batch=batch, max_bits=max_bits, max_errors=max_errors,
+                timeout_seconds=timeout_seconds)
         else:
             p = measure_point(code, config, EbNo,
                               key=sub, block_bits=block_bits, batch=batch,
                               max_bits=max_bits, max_errors=max_errors,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas,
+                              timeout_seconds=timeout_seconds)
         points.append(p)
         if p.total_bit_errors == 0:
             break

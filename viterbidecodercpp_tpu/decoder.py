@@ -322,8 +322,9 @@ class ViterbiDecoder:
     # -- readout ----------------------------------------------------------
     def get_error(self, state: DecoderState, end_state: int = 0) -> jnp.ndarray:
         """(B,) normalised path metric at ``end_state``
-        (viterbi_decoder_core.h:195-199)."""
-        return state.metrics[end_state, :]
+        (viterbi_decoder_core.h:195-199, incl. its ``% NUMSTATES``
+        index wrap)."""
+        return state.metrics[end_state & (self.spec.S - 1), :]
 
     def chainback(self, state: DecoderState, total_bits: int,
                   end_state: int = 0) -> jnp.ndarray:

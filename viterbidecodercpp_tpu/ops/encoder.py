@@ -34,7 +34,53 @@ __all__ = [
     "bits_to_bytes_jax",
     "depuncture",
     "puncture_mask",
+    "ByteStreamEncoder",
 ]
+
+
+class ByteStreamEncoder:
+    """Byte-at-a-time incremental encoder - the reference encoder ABC
+    (convolutional_encoder.h:10-29): ``reset()`` clears the shift
+    register; ``consume_byte(x)`` returns the R output bytes for one
+    input byte, bits packed LSB-first in stream order t*R + j
+    (convolutional_encoder_shift_register.h:40-62).
+
+    Host-side convenience for protocol code that feeds bytes as they
+    arrive; bulk encoding uses the closed-form device path
+    (:func:`encode_bits_jax`) or the native batch runtime
+    (utils/native.NativeEncoder), both of which it matches bit-for-bit
+    (tests/test_encoder_jax.py).
+    """
+
+    def __init__(self, code: CodeSpec):
+        self.code = code
+        self.K = code.K
+        self.R = code.R
+        self._mask = (1 << code.K) - 1
+        self._reg = 0
+
+    def reset(self) -> None:
+        self._reg = 0
+
+    def consume_byte(self, x: int) -> np.ndarray:
+        """Encode one input byte (bits MSB-first) -> (R,) uint8 output
+        bytes holding the 8*R encoded bits LSB-first."""
+        from ..codes import parity
+
+        y = np.zeros(self.R, np.uint8)
+        curr_bit = 0
+        for i in range(8):
+            self._reg = ((self._reg << 1) | ((int(x) >> (7 - i)) & 1)) \
+                & self._mask
+            for g in self.code.G:
+                b = int(parity(g & self._reg))
+                y[curr_bit >> 3] |= np.uint8(b << (curr_bit & 7))
+                curr_bit += 1
+        return y
+
+    def consume_bytes(self, data) -> np.ndarray:
+        """Vector convenience: (n,) bytes -> (n, R) output bytes."""
+        return np.stack([self.consume_byte(b) for b in np.asarray(data)])
 
 
 def bytes_to_bits_jax(data: jnp.ndarray) -> jnp.ndarray:

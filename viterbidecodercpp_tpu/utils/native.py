@@ -25,6 +25,7 @@ import numpy as np
 __all__ = [
     "available",
     "build",
+    "ensure_built",
     "NativeEncoder",
     "count_bit_errors_bytes",
     "count_bit_errors_bits",
@@ -111,8 +112,6 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     path = os.environ.get("VDT_SIGCHAIN_LIB",
                           os.path.join(_HERE, _LIB_NAME))
-    if not os.path.exists(path) and not os.environ.get("VDT_SIGCHAIN_LIB"):
-        build()
     try:
         _lib = _bind(ctypes.CDLL(path))
         if _lib.vdt_abi_version() != 1:
@@ -127,8 +126,30 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
-    """True when the native runtime is loadable (builds on first demand)."""
+    """True when the native runtime is loadable.  Side-effect-free: a
+    missing library is reported as unavailable, never compiled here -
+    build with ``make -C native`` or :func:`ensure_built`."""
     return _load() is not None
+
+
+def ensure_built(verbose: bool = False) -> bool:
+    """Build the shared library if it is missing, then (re)load it.
+
+    This is the explicit opt-in for the ~seconds-long g++ compile that
+    :func:`available` used to launch implicitly; harnesses that want
+    the fast path on a fresh checkout call this once up front."""
+    global _load_failed
+    path = os.environ.get("VDT_SIGCHAIN_LIB",
+                          os.path.join(_HERE, _LIB_NAME))
+    if not os.path.exists(path) and not os.environ.get("VDT_SIGCHAIN_LIB"):
+        if verbose:
+            import sys
+            print(f"[native] building {_LIB_NAME} (g++ -O3 ...)",
+                  file=sys.stderr)
+        if not build(verbose=verbose):
+            return False
+        _load_failed = False
+    return available()
 
 
 class NativeEncoder:

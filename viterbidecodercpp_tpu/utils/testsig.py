@@ -60,17 +60,26 @@ def modulate_encode(code: CodeSpec, bits: jnp.ndarray,
 
 
 def awgn_quantize(float_syms: jnp.ndarray, key, EbNo_dB,
-                  code_rate: int, config: DecoderConfig) -> jnp.ndarray:
+                  code_rate: int, config) -> jnp.ndarray:
     """Add AWGN and quantise to the config's soft-decision integer range
-    (run_snr_ber.cpp:348-359).  ``EbNo_dB`` may be traced."""
+    (run_snr_ber.cpp:348-359).  ``EbNo_dB`` may be traced.  ``config``
+    is anything carrying the soft range: a DecoderConfig
+    (.soft_decision_high/low) or a jax_core.StaticSpec
+    (.soft_high/low), so jitted callers can pass the hashable spec
+    they already close over."""
+    high = getattr(config, "soft_decision_high", None)
+    if high is None:
+        high, low = config.soft_high, config.soft_low
+    else:
+        low = config.soft_decision_low
     sigma = jnp.asarray(awgn_sigma(EbNo_dB, code_rate), jnp.float32)
     noisy = float_syms + sigma * jax.random.normal(
         key, float_syms.shape, jnp.float32)
-    mean = (config.soft_decision_high + config.soft_decision_low) / 2.0
-    mag = (config.soft_decision_high - config.soft_decision_low) / 2.0
+    mean = (high + low) / 2.0
+    mag = (high - low) / 2.0
     norm = 1.0 / jnp.sqrt(1.0 + sigma * sigma)
     q = round_half_away(noisy * (jnp.float32(mag) * norm) + jnp.float32(mean))
-    q = jnp.clip(q, config.soft_decision_low, config.soft_decision_high)
+    q = jnp.clip(q, low, high)
     return q.astype(jnp.int32)
 
 
