@@ -1,15 +1,19 @@
 """Statistical BER regression vs the reference binary's own output.
 
-Ground truth: data_ber_reference_voyager.json, produced on this host by
-the reference's run_snr_ber (Release, -march=native, AVX2 kernels,
-seed 777, -k 0.2).  Note the *committed* data_snr_ber_x86.txt files in
-the reference repo use an older shifted Eb/No convention (sweeps starting
+Ground truth: data_ber_reference_voyager.json and
+data_ber_reference_k9_k15.json, produced on this host by the
+reference's run_snr_ber (Release, -march=native, AVX2 kernels,
+seed 777; -k 0.2 for Voyager, -k 20 for CDMA IS-95A, -k 500 for
+Cassini).  Note the *committed* data_snr_ber_x86.txt files in the
+reference repo use an older shifted Eb/No convention (sweeps starting
 at -9 dB) and do not match the current reference sources; the freshly
 built binary does, and this framework matches it point-for-point.
 
 These tests are statistical (independent RNG streams), so they assert
-agreement within Poisson counting error, not bit-identity.  They need a
-real accelerator to finish in reasonable time.
+agreement within Poisson counting error over a 1.3x ratio window, with
+budgets sized for >=300 expected errors per point on our side.  They
+need a real accelerator to finish in reasonable time
+(VITERBI_TEST_TPU=1).
 """
 
 import json
@@ -23,14 +27,57 @@ pytestmark = pytest.mark.skipif(
     not os.environ.get("VITERBI_TEST_TPU"),
     reason="BER regression needs a real accelerator (set VITERBI_TEST_TPU=1)")
 
+_HERE = os.path.dirname(__file__)
 
-def load_reference(decode_type):
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "data_ber_reference_voyager.json")) as f:
+_FILES = {
+    "Voyager": "data_ber_reference_voyager.json",
+    "CDMA IS-95A": "data_ber_reference_k9_k15.json",
+    "Cassini": "data_ber_reference_k9_k15.json",
+}
+
+
+def load_reference(code_name, decode_type):
+    with open(os.path.join(_HERE, "..", _FILES[code_name])) as f:
         for rec in json.load(f):
-            if rec["decode_type"] == decode_type:
+            if (rec["name"] == code_name
+                    and rec["decode_type"] == decode_type):
                 return dict(zip(rec["EbNo_dB"], rec["ber"]))
-    raise KeyError(decode_type)
+    raise KeyError((code_name, decode_type))
+
+
+def check_point(code_name, decode_type, EbNo, key, *, block_bits=4096,
+                host_chain=False, seed=0):
+    import viterbidecodercpp_tpu as vt
+    from viterbidecodercpp_tpu import ber
+
+    code = vt.get_code(code_name)
+    config = vt.get_decode_config(vt.DecodeType(decode_type), code.R)
+    r = load_reference(code_name, decode_type)[EbNo]
+    # budget: enough for >=300 expected errors at the reference BER
+    want_errors = 300
+    max_bits = min(int(want_errors / max(r, 1e-9)), 60_000_000)
+    if host_chain:
+        p = ber.measure_point_host_chain(
+            code, config, EbNo, seed=seed, block_bits=block_bits,
+            batch=64, max_bits=max_bits, max_errors=100_000)
+    else:
+        # block_bits matches the reference harness default frame length
+        # (-L 512 bytes -> 4096-bit frames); BER is frame-length
+        # dependent through tail-termination edge protection, so compare
+        # like for like.
+        p = ber.measure_point(code, config, EbNo, key=key,
+                              block_bits=block_bits,
+                              max_bits=max_bits, max_errors=100_000)
+    # Poisson tolerance: 5 sigma on the observed count, floored at a
+    # 1.3x ratio window for Monte Carlo slack.
+    lo, hi = r / 1.3, r * 1.3
+    n = p.total_bit_errors
+    sigma_rel = 5.0 / max(np.sqrt(max(n, 1)), 1.0)
+    lo = min(lo, r * (1 - sigma_rel))
+    hi = max(hi, r * (1 + sigma_rel))
+    assert lo <= p.ber <= hi, (
+        f"{code_name} {decode_type} @ {EbNo} dB: got BER {p.ber:.3e} "
+        f"({n}/{p.total_bits}), reference {r:.3e}")
 
 
 @pytest.mark.parametrize("decode_type,points", [
@@ -38,35 +85,43 @@ def load_reference(decode_type):
     ("SOFT8", [2.0, 3.0]),
     ("HARD8", [3.0, 4.0]),
 ])
-def test_ber_matches_reference(decode_type, points):
-    import viterbidecodercpp_tpu as vt
-    from viterbidecodercpp_tpu import ber
-
-    code = vt.get_code("Voyager")
-    config = vt.get_decode_config(vt.DecodeType(decode_type), code.R)
-    ref = load_reference(decode_type)
+def test_ber_matches_reference_voyager(decode_type, points):
     key = jax.random.PRNGKey(42)
-
     for EbNo in points:
         key, sub = jax.random.split(key)
-        # budget: enough for >=100 expected errors at the reference BER
-        want_errors = 300
-        max_bits = min(int(want_errors / max(ref[EbNo], 1e-9)), 60_000_000)
-        # block_bits matches the reference harness default frame length
-        # (-L 512 bytes -> 4096-bit frames); BER is frame-length dependent
-        # through tail-termination edge protection, so compare like for
-        # like.
-        p = ber.measure_point(code, config, EbNo, key=sub,
-                              block_bits=4096,
-                              max_bits=max_bits, max_errors=100_000)
-        # Poisson tolerance: 5 sigma on the smaller of the two counts,
-        # floored at a 1.6x ratio for Monte Carlo slack.
-        r = ref[EbNo]
-        lo, hi = r / 1.6, r * 1.6
-        n = p.total_bit_errors
-        sigma_rel = 5.0 / max(np.sqrt(max(n, 1)), 1.0)
-        lo = min(lo, r * (1 - sigma_rel))
-        hi = max(hi, r * (1 + sigma_rel))
-        assert lo <= p.ber <= hi, (
-            f"{decode_type} @ {EbNo} dB: got BER {p.ber:.3e} "
-            f"({n}/{p.total_bits}), reference {r:.3e}")
+        check_point("Voyager", decode_type, EbNo, sub)
+
+
+@pytest.mark.parametrize("decode_type,points", [
+    ("SOFT16", [2.0, 2.5]),
+    ("SOFT8", [2.0, 2.5]),
+    ("HARD8", [3.0, 3.5]),
+])
+def test_ber_matches_reference_cdma_k9(decode_type, points):
+    key = jax.random.PRNGKey(43)
+    for EbNo in points:
+        key, sub = jax.random.split(key)
+        check_point("CDMA IS-95A", decode_type, EbNo, sub)
+
+
+@pytest.mark.parametrize("decode_type,points", [
+    ("SOFT16", [0.0, 0.5]),
+    ("SOFT8", [0.5, 1.0]),
+    ("HARD8", [1.5, 2.0]),
+])
+def test_ber_matches_reference_cassini_k15(decode_type, points):
+    # the plane Pallas kernel path end to end, vs the reference's own
+    # K=15 AVX sweep
+    key = jax.random.PRNGKey(44)
+    for EbNo in points:
+        key, sub = jax.random.split(key)
+        check_point("Cassini", decode_type, EbNo, sub, block_bits=1024)
+
+
+def test_ber_host_chain_cassini_point():
+    """Apples-to-apples pipeline: the native C++ runtime generates the
+    channel exactly like the reference harness (mt19937 + identical
+    quantisation maths) and the TPU only decodes - one Cassini point
+    through measure_point_host_chain."""
+    check_point("Cassini", "SOFT16", 0.5, None, block_bits=1024,
+                host_chain=True, seed=3)
