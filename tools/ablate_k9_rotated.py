@@ -1,0 +1,304 @@
+#!/usr/bin/env python3
+"""K=9 ablation: rotated in-place (S, B) ACS kernel (VERDICT item 8).
+
+CDMA K=9 (S=256) is the weakest small-code ratio on the lane-resident
+kernel (acs_pallas: states on sublanes, frames on lanes, butterfly via
+the (H, 2, B) -> (S, B) sublane interleave).  The K=15 plane kernel
+(ops/bigstate_pallas.py) reached ~1.7x higher per-state-element
+throughput with a different structure: logical state s lives at slot
+rotr_n(s, t) after t steps, the butterfly writes IN PLace (the
+interleave shuffle vanishes), and each slot needs only two candidates
+(self + bm, partner + ibm).
+
+This tool ports that structure to the small-state geometry - states
+stay on the *sublane* axis (256 rows), frames on lanes, pairing bit j
+is a sublane-axis distance-2^j XOR partner (two pltpu.rolls + select),
+decisions are emitted in slot order (32 sublane rows per int32 word) -
+and measures it against the production acs_pallas kernel on identical
+shapes.  Correctness: bit-exact final metrics + renorm acc vs the XLA
+oracle after un-rotating the slot layout (checked in interpret mode on
+CPU and on the TPU).
+
+Ablation only: decision output is slot-order (a production adoption
+would reuse the plane decoders' rotation-aware chainback).  Result is
+recorded in PERF.md; adopt if >= 1.5x.
+"""
+import sys
+sys.path.insert(0, ".")
+
+import argparse
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import acs_pallas, jax_core
+from viterbidecodercpp_tpu.ops.bigstate import _rotr
+from viterbidecodercpp_tpu.ops.jax_core import StaticSpec
+
+
+def _slot_bt(spec: StaticSpec) -> np.ndarray:
+    """(n * R * S, 1) per-phase, per-slot branch-table values.
+
+    At phase phi the pairing bit is j = (n-1-phi) % n; slot p belongs to
+    the butterfly whose lo slot is p with bit j cleared, logical
+    half-state h = rotl_n(p_lo, phi) (same derivation as
+    bigstate_pallas._phase_bt_planes, but over a 1-D sublane axis).
+    """
+    n = spec.K - 1
+    S = spec.S
+    bt = np.asarray(spec.bt, dtype=np.int32)          # (R, H)
+    pos = np.arange(S)
+    out = np.zeros((n, spec.R, S), np.int32)
+    for phi in range(n):
+        j = (n - 1 - phi) % n
+        p_lo = pos & ~(1 << j)
+        h = _rotr(p_lo, -phi, n)                      # rotl(p_lo, phi)
+        assert h.max() < spec.H
+        out[phi] = bt[:, h]
+    return out.reshape(n * spec.R * S, 1)
+
+
+def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
+                 interpret: bool):
+    n = spec.K - 1
+    S, R = spec.S, spec.R
+    W = S // 32                     # slot-order int32 words per step
+    TB = chunks * n
+    cap = spec.metric_max
+    saturating = spec.saturating
+    thr = spec.renorm_threshold
+    max_error = spec.max_error
+
+    def roll(x, shift, axis):
+        shift %= x.shape[axis]
+        if interpret:
+            return jnp.roll(x, shift, axis)
+        return pltpu.roll(x, shift, axis)
+
+    def kernel(bt_ref, init_ref, sym_ref, m_ref, p_ref, acc_ref):
+        tb = pl.program_id(0)
+        B = m_ref.shape[1]
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (W, 32, B), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+
+        @pl.when(tb == 0)
+        def _init():
+            m_ref[...] = init_ref[...]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def chunk_body(c, _):
+            base = tb * TB + c * n
+            # one aligned dynamic load per chunk (offset multiple of n*R);
+            # per-phase rows are then static slices of the value
+            sym_off = pl.multiple_of(c * (n * R), n * R)
+            syms = sym_ref[pl.ds(sym_off, n * R), :]         # (n*R, B)
+            words = []
+            for phi in range(n):
+                j = (n - 1 - phi) % n
+                dist = 1 << j
+                maskj = (row_ids & dist) != 0
+                live = base + phi < total_steps
+                m = m_ref[...]                       # (S, B)
+                bv = roll(m, -dist, 0)               # value at p + d
+                cv = roll(m, dist, 0)                # value at p - d
+                partner = jnp.where(maskj, cv, bv)
+                boff = (phi * R) * S
+                bm = jnp.abs(bt_ref[boff:boff + S, :] -
+                             syms[phi * R:phi * R + 1, :])
+                for r in range(1, R):
+                    bm = bm + jnp.abs(
+                        bt_ref[boff + r * S:boff + (r + 1) * S, :] -
+                        syms[phi * R + r:phi * R + r + 1, :])
+                ibm = max_error - bm
+                e_self = m + bm
+                e_part = partner + ibm
+                if saturating:
+                    e_self = jnp.minimum(e_self, cap)
+                    e_part = jnp.minimum(e_part, cap)
+                    diff = e_part - e_self
+                    c_lo = diff <= 0      # SIMD tie -> predecessor 1
+                    c_hi = diff >= 0
+                else:
+                    e_self = jnp.bitwise_and(e_self, cap)
+                    e_part = jnp.bitwise_and(e_part, cap)
+                    diff = e_self - e_part
+                    c_lo = diff > 0       # scalar tie -> predecessor 0
+                    c_hi = diff < 0
+                nm = jnp.where(
+                    maskj,
+                    jnp.where(c_hi, e_self, e_part),
+                    jnp.where(c_lo, e_part, e_self))
+                dbit = jnp.where(maskj, c_hi.astype(jnp.int32),
+                                 c_lo.astype(jnp.int32))
+                # renorm: state 0 is slot 0 at every phase
+                gate = jnp.logical_and(nm[0:1, :] >= thr, live)
+                mins = jnp.min(nm, axis=0, keepdims=True)
+                sub = jnp.where(gate, mins, 0)
+                m_ref[...] = jnp.where(live, nm - sub, m)
+                acc_ref[...] = acc_ref[...] + sub
+                words.append((dbit.reshape(W, 32, B) << shifts).sum(axis=1))
+            p_ref[pl.ds(c * n * W, n * W), :] = jnp.concatenate(words, 0)
+            return 0
+
+        jax.lax.fori_loop(0, chunks, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def acs_rotated_small(spec: StaticSpec, metrics, symbols, chunks: int,
+                      total_steps: int, interpret: bool):
+    """metrics: (S, B) i32 SLOT-layout (phase 0 == state order);
+    symbols: (T_pad * R, B) i32, T_pad % (chunks*(K-1)) == 0.
+    Returns (metrics (S, B) slot layout at phase T%n, packed slot-order
+    (T_pad * S//32, B), acc (1, B))."""
+    n = spec.K - 1
+    S, B = metrics.shape
+    W = S // 32
+    TB = chunks * n
+    T_pad = symbols.shape[0] // spec.R
+    assert T_pad % TB == 0
+    grid = (T_pad // TB,)
+    bt = jnp.asarray(_slot_bt(spec))
+    kernel = _make_kernel(spec, chunks, total_steps, interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt.shape[0], 1), lambda i: (0, 0)),
+            pl.BlockSpec((S, B), lambda i: (0, 0)),
+            pl.BlockSpec((TB * spec.R, B), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, B), lambda i: (0, 0)),
+            pl.BlockSpec((TB * W, B), lambda i: (i, 0)),
+            pl.BlockSpec((1, B), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad * W, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bt, metrics, symbols)
+
+
+def _unrotate(spec: StaticSpec, m: np.ndarray, t: int) -> np.ndarray:
+    """Slot layout -> state order after t steps (state s at rotr(s, t))."""
+    n = spec.K - 1
+    perm = _rotr(np.arange(spec.S), t % n, n)
+    return m[perm, :]
+
+
+def check(mode: str, interpret: bool):
+    code = get_code("CDMA IS-95A")
+    config = get_decode_config(DecodeType(mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    rng = np.random.RandomState(0)
+    B = 128
+    for chunks, T in ((1, 8), (2, 48), (3, 72)):
+        syms = rng.randint(config.soft_decision_low,
+                           config.soft_decision_high + 1,
+                           (B, T, code.R)).astype(np.int32)
+        m0 = jax_core.initial_metrics(spec, B)                 # (S, B)
+        mx, px, ax = jax_core.acs_scan(spec, m0, jnp.asarray(syms))
+        sym_cols = jnp.asarray(
+            syms.transpose(1, 2, 0).reshape(T * code.R, B))
+        m, p, a = acs_rotated_small(spec, m0, sym_cols, chunks, T,
+                                    interpret)
+        m_states = _unrotate(spec, np.asarray(m), T)
+        ok_m = np.array_equal(m_states, np.asarray(mx))
+        ok_a = np.array_equal(np.asarray(a)[0], np.asarray(ax))
+        # decisions: slot q at step t holds the bit for new state
+        # s' = rotl(q, t+1); oracle packs state-order 32/word (T, W, B)
+        W = spec.S // 32
+        pk = np.asarray(p).reshape(T, W, B)
+        px_np = np.asarray(px)
+        sidx = np.arange(spec.S)
+        ok_d = True
+        n = spec.K - 1
+        for t in range(T):
+            bits = (pk[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
+            s_prime = _rotr(sidx, -(t + 1), n)               # rotl(q, t+1)
+            state_bits = np.zeros_like(bits)
+            state_bits[s_prime, :] = bits
+            obits = (px_np[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
+            ok_d = ok_d and np.array_equal(state_bits, obits)
+        print(f"{mode} chunks={chunks} T={T}: metrics={ok_m} acc={ok_a} "
+              f"decisions={ok_d}")
+        if not (ok_m and ok_a and ok_d):
+            raise SystemExit(1)
+
+
+def _timed(f, args, sink_index=2):
+    t0 = time.perf_counter()
+    out = f(*args)
+    jax.device_get(out[sink_index])
+    return time.perf_counter() - t0
+
+
+def bench(mode: str, B: int, T: int, chunks: int):
+    code = get_code("CDMA IS-95A")
+    config = get_decode_config(DecodeType(mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    rng = np.random.RandomState(0)
+    syms_bt = jnp.asarray(rng.randint(
+        config.soft_decision_low, config.soft_decision_high + 1,
+        (B, T, code.R)), jnp.int32)
+    sym_cols = jnp.asarray(np.asarray(syms_bt).transpose(1, 2, 0)
+                           .reshape(T * code.R, B))
+    m0 = jax_core.initial_metrics(spec, B)          # (S, B)
+
+    @jax.jit
+    def run_rot(m, s, reps):
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = acs_rotated_small(spec, m, s, chunks, T, False)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
+
+    @jax.jit
+    def run_prod(m, s, reps):
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = acs_pallas.acs_pallas(spec, m, s)
+            return m2, sink + acc.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
+
+    for name, f, args in (("production acs_pallas", run_prod, (m0, syms_bt)),
+                          ("rotated in-place", run_rot, (m0, sym_cols))):
+        _timed(f, args + (jnp.asarray(1, jnp.int32),), 1)  # compile+warm
+        vals = []
+        for _ in range(5):
+            t1 = _timed(f, args + (jnp.asarray(2, jnp.int32),), 1)
+            t2 = _timed(f, args + (jnp.asarray(8, jnp.int32),), 1)
+            vals.append((t2 - t1) / 6)
+        dt = float(np.median(vals))
+        rate = B * T * code.R / dt
+        print(f"{mode} B={B} T={T} {name}: {dt*1e3:8.2f} ms/iter  "
+              f"{rate/1e6:9.1f} Msym/s", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (jax.config, pre-init)")
+    ap.add_argument("--mode", default="SOFT8")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=2048)
+    ap.add_argument("--chunks", type=int, default=4)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.check:
+        check(args.mode, args.interpret)
+    else:
+        bench(args.mode, args.batch, args.steps, args.chunks)

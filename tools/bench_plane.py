@@ -20,9 +20,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu import (CodeSpec, DecodeType, get_code,
+                                   get_decode_config)
 from viterbidecodercpp_tpu.ops import jax_core, bigstate_pallas as bp
+from viterbidecodercpp_tpu.ops import bigstate
 
+# --code selects the code under test; K14-rand is the odd-slab-height
+# class (n*WRr=26, not a multiple of 8) that the chunk-major slab store
+# unlocked - its plane-vs-XLA ratio is the VERDICT item-3 gate.
+CODES = {
+    "cassini": lambda: get_code("Cassini"),
+    "k14": lambda: CodeSpec("K14-rand", 14, (0o21675, 0o27123)),
+}
 code = get_code("Cassini")
 
 
@@ -88,6 +97,40 @@ def check(mode: str):
             raise SystemExit(1)
 
 
+def make_run_xla(spec):
+    """XLA fallback (ops/bigstate.py rotated scan) under the same
+    carry-chained protocol, for the plane-vs-fallback ratio."""
+    @jax.jit
+    def run(m, syms, reps):
+        def body(i, carry):
+            m, sink = carry
+            m2, packed, acc = bigstate.acs_scan_rotated(spec, m, syms)
+            # consume the packed decisions too: the XLA path is
+            # emission-bound and DCE would otherwise delete the packing
+            # (cassini-emission-bound trap).
+            return m2, (sink + acc.astype(jnp.int32).sum()
+                        + packed.astype(jnp.int32).sum())
+        return jax.lax.fori_loop(0, reps, body,
+                                 (m, jnp.zeros((), jnp.int32)))
+    return run
+
+
+def sweep_xla(mode: str, B: int, T: int):
+    spec, config = spec_for(mode)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    f = make_run_xla(spec)
+    t0 = time.perf_counter()
+    dt = marginal(f, m0, syms)
+    rate = B * T * code.R / dt
+    print(f"{mode} B={B} T={T} XLA-fallback: {dt*1e3:8.2f} ms/iter  "
+          f"{rate/1e6:8.2f} Msym/s  (wall {time.perf_counter()-t0:.0f}s)",
+          flush=True)
+
+
 def sweep(mode: str, B: int, T: int, variants):
     spec, config = spec_for(mode)
     rng = np.random.RandomState(0)
@@ -108,13 +151,19 @@ def sweep(mode: str, B: int, T: int, variants):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--code", default="cassini", choices=sorted(CODES))
     ap.add_argument("--mode", default="SOFT16")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--variants", default="16,2,1;8,2,1")
+    ap.add_argument("--xla", action="store_true",
+                    help="time the XLA fallback instead of the kernel")
     args = ap.parse_args()
+    code = CODES[args.code]()
     if args.check:
         check(args.mode)
+    elif args.xla:
+        sweep_xla(args.mode, args.batch, args.steps)
     else:
         variants = []
         for v in args.variants.split(";"):
