@@ -196,21 +196,24 @@ def _unrotate(spec: StaticSpec, m: np.ndarray, t: int) -> np.ndarray:
     return m[perm, :]
 
 
-def check(mode: str, interpret: bool):
-    code = get_code("CDMA IS-95A")
+def check(mode: str, interpret: bool, code_name: str):
+    code = get_code(code_name)
     config = get_decode_config(DecodeType(mode), code.R)
     spec = jax_core.make_static_spec(code, config)
     rng = np.random.RandomState(0)
     B = 128
-    for chunks, T in ((1, 8), (2, 48), (3, 72)):
+    nK = code.K - 1
+    cases = [(1, 1 * nK, 0), (2, 4 * nK, 0), (3, 3 * nK, 5)]
+    for chunks, T_pad, ragged in cases:
+        T = T_pad - ragged            # ragged: live-gated padded tail
         syms = rng.randint(config.soft_decision_low,
                            config.soft_decision_high + 1,
                            (B, T, code.R)).astype(np.int32)
         m0 = jax_core.initial_metrics(spec, B)                 # (S, B)
         mx, px, ax = jax_core.acs_scan(spec, m0, jnp.asarray(syms))
-        sym_cols = jnp.asarray(
-            syms.transpose(1, 2, 0).reshape(T * code.R, B))
-        m, p, a = acs_rotated_small(spec, m0, sym_cols, chunks, T,
+        cols = np.zeros((T_pad * code.R, B), np.int32)
+        cols[:T * code.R] = syms.transpose(1, 2, 0).reshape(T * code.R, B)
+        m, p, a = acs_rotated_small(spec, m0, jnp.asarray(cols), chunks, T,
                                     interpret)
         m_states = _unrotate(spec, np.asarray(m), T)
         ok_m = np.array_equal(m_states, np.asarray(mx))
@@ -218,7 +221,7 @@ def check(mode: str, interpret: bool):
         # decisions: slot q at step t holds the bit for new state
         # s' = rotl(q, t+1); oracle packs state-order 32/word (T, W, B)
         W = spec.S // 32
-        pk = np.asarray(p).reshape(T, W, B)
+        pk = np.asarray(p).reshape(T_pad, W, B)[:T]
         px_np = np.asarray(px)
         sidx = np.arange(spec.S)
         ok_d = True
@@ -243,16 +246,20 @@ def _timed(f, args, sink_index=2):
     return time.perf_counter() - t0
 
 
-def bench(mode: str, B: int, T: int, chunks: int):
-    code = get_code("CDMA IS-95A")
+def bench(mode: str, B: int, T: int, chunks: int, code_name: str):
+    code = get_code(code_name)
     config = get_decode_config(DecodeType(mode), code.R)
     spec = jax_core.make_static_spec(code, config)
     rng = np.random.RandomState(0)
     syms_bt = jnp.asarray(rng.randint(
         config.soft_decision_low, config.soft_decision_high + 1,
         (B, T, code.R)), jnp.int32)
-    sym_cols = jnp.asarray(np.asarray(syms_bt).transpose(1, 2, 0)
-                           .reshape(T * code.R, B))
+    TB = chunks * (code.K - 1)
+    T_pad = ((T + TB - 1) // TB) * TB
+    cols = np.zeros((T_pad * code.R, B), np.int32)
+    cols[:T * code.R] = (np.asarray(syms_bt).transpose(1, 2, 0)
+                         .reshape(T * code.R, B))
+    sym_cols = jnp.asarray(cols)
     m0 = jax_core.initial_metrics(spec, B)          # (S, B)
 
     @jax.jit
@@ -288,6 +295,8 @@ def bench(mode: str, B: int, T: int, chunks: int):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--code", default="CDMA IS-95A",
+                    help="registry code name (any S <= 4096 works)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (jax.config, pre-init)")
@@ -299,6 +308,6 @@ if __name__ == "__main__":
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.check:
-        check(args.mode, args.interpret)
+        check(args.mode, args.interpret, args.code)
     else:
-        bench(args.mode, args.batch, args.steps, args.chunks)
+        bench(args.mode, args.batch, args.steps, args.chunks, args.code)
