@@ -2,7 +2,25 @@
 examples/helpers/cli_filters.h:68-186: the ``-l`` registry listing and
 the -c/-d/-s filter conventions)."""
 
+import os
 import sys
+
+
+def apply_platform(argv=None):
+    """Honour ``--cpu`` / ``VITERBI_PLATFORM=<plat>`` before any JAX
+    backend initialises (must run before the first dispatch: the axon
+    plugin pins the platform at backend init and env vars alone cannot
+    switch it).  Strips ``--cpu`` from argv so per-tool parsers need not
+    know about it.  Lets every harness executable run on the host CPU
+    when no healthy TPU is attached."""
+    argv = sys.argv if argv is None else argv
+    plat = os.environ.get("VITERBI_PLATFORM")
+    if "--cpu" in argv:
+        argv.remove("--cpu")
+        plat = "cpu"
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
 
 def print_code_list(file=None):

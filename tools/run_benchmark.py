@@ -154,6 +154,8 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax
     import viterbidecodercpp_tpu as vt
 

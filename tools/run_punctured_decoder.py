@@ -18,6 +18,8 @@ GREEN, RED, RESET = "\033[32m", "\033[31m", "\033[0m"
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu import puncture

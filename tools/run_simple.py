@@ -15,6 +15,8 @@ import numpy as np
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu.ops import encoder

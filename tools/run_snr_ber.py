@@ -28,6 +28,8 @@ sys.path.insert(0, "tools")
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     from cli_common import add_list_flag, handle_list_flag
 
     ap = argparse.ArgumentParser()

@@ -15,6 +15,8 @@ import numpy as np
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     from viterbidecodercpp_tpu import get_code
     from viterbidecodercpp_tpu.ops import numpy_ref as ref
     from viterbidecodercpp_tpu.streaming import StreamingDecoder

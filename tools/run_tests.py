@@ -21,6 +21,8 @@ GREEN, RED, YELLOW, RESET = "\033[32m", "\033[31m", "\033[33m", "\033[0m"
 
 
 def main():
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu.ops import numpy_ref
