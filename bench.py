@@ -26,18 +26,25 @@ import time
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
     from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=2048)
+    args = ap.parse_args(argv)
+
     code = get_code("Voyager")                     # K=7 R=1/2
     config = get_decode_config(DecodeType.SOFT8, code.R)
     spec = jax_core.make_static_spec(code, config)
 
-    B, T = 1024, 2048
+    B, T = args.batch, args.steps
     total_bits = T - (code.K - 1)
     rng = np.random.RandomState(0)
     syms = jnp.asarray(rng.randint(config.soft_decision_low,
