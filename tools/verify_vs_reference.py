@@ -34,6 +34,9 @@ def build_probe(tmp):
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(__file__))
+    from cli_common import apply_platform
+    apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
