@@ -1,0 +1,63 @@
+"""Guard the rotated in-place ACS ablation kernel's slot math.
+
+tools/ablate_k9_rotated.py (VERDICT round-1 item 8) carries the same
+rotation-schedule invariants as the production plane kernel - slot =
+rotr_n(state, t), per-phase branch-table expansion, slot-order decision
+packing - over the small-state (S, B) sublane geometry.  This pins the
+layout algebra against the XLA oracle in interpret mode so the ablation
+arm stays trustworthy between TPU sessions.
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+from viterbidecodercpp_tpu.ops import jax_core
+from viterbidecodercpp_tpu.ops.bigstate import _rotr
+
+import ablate_k9_rotated as rot
+
+
+@pytest.mark.parametrize("code_name,mode", [("Voyager", "SOFT8"),
+                                            ("CDMA IS-95A", "SOFT16")])
+def test_rotated_small_matches_oracle(code_name, mode):
+    code = get_code(code_name)
+    config = get_decode_config(DecodeType(mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    n = code.K - 1
+    rng = np.random.RandomState(3)
+    B, chunks = 128, 2
+    T_pad = 2 * chunks * n
+    T = T_pad - 3                       # ragged tail exercises live gating
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T, code.R)).astype(np.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    mx, px, ax = jax_core.acs_scan(spec, m0, jnp.asarray(syms))
+
+    cols = np.zeros((T_pad * code.R, B), np.int32)
+    cols[:T * code.R] = syms.transpose(1, 2, 0).reshape(T * code.R, B)
+    m, p, a = rot.acs_rotated_small(spec, m0, jnp.asarray(cols), chunks, T,
+                                    True)
+
+    assert np.array_equal(rot._unrotate(spec, np.asarray(m), T),
+                          np.asarray(mx))
+    assert np.array_equal(np.asarray(a)[0], np.asarray(ax))
+
+    # slot-order decisions: slot q at step t holds new state rotl(q, t+1)
+    W = spec.S // 32
+    pk = np.asarray(p).reshape(T_pad, W, B)[:T]
+    px_np = np.asarray(px)
+    sidx = np.arange(spec.S)
+    for t in range(T):
+        bits = (pk[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
+        state_bits = np.zeros_like(bits)
+        state_bits[_rotr(sidx, -(t + 1), n), :] = bits
+        obits = (px_np[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
+        assert np.array_equal(state_bits, obits), f"step {t}"
