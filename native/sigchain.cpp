@@ -111,9 +111,12 @@ ThreadPool& SharedPool() {
 // WaitAll conditions.
 void ParallelFor(size_t total, int n_threads,
                  const std::function<void(size_t, size_t)>& fn) {
+  // A nested call from inside a worker task must not touch the shared
+  // pool (for_mu is held across WaitAll by the outer call): run inline.
+  static thread_local bool in_worker = false;
   size_t hw = std::thread::hardware_concurrency();
   size_t n = n_threads > 0 ? static_cast<size_t>(n_threads) : (hw ? hw : 1);
-  if (n <= 1 || total <= 1) {
+  if (in_worker || n <= 1 || total <= 1) {
     fn(0, total);
     return;
   }
@@ -126,7 +129,11 @@ void ParallelFor(size_t total, int n_threads,
     size_t lo = i * chunk;
     size_t hi = std::min(total, lo + chunk);
     if (lo >= hi) break;
-    pool.Push([=, &fn] { fn(lo, hi); });
+    pool.Push([=, &fn] {
+      in_worker = true;
+      fn(lo, hi);
+      in_worker = false;
+    });
   }
   pool.WaitAll();
 }

@@ -154,7 +154,8 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
 
 
 def main():
-    from cli_common import apply_platform
+    from cli_common import (add_list_flag, apply_platform,
+                            handle_list_flag)
     apply_platform()   # --cpu / VITERBI_PLATFORM, pre-backend-init
     import jax
     import viterbidecodercpp_tpu as vt
@@ -168,8 +169,6 @@ def main():
     ap.add_argument("-M", type=int, default=256, help="input bytes/frame")
     ap.add_argument("-T", type=float, default=2.0, help="seconds per combo")
     ap.add_argument("-o", default=None, help="output file (default stdout)")
-    sys.path.insert(0, "tools")
-    from cli_common import add_list_flag, handle_list_flag
     add_list_flag(ap)
     args = ap.parse_args()
     if handle_list_flag(args):

@@ -112,29 +112,26 @@ def worker(args):
 
 
 def simulate(args):
-    import socket
-    import subprocess
+    from viterbidecodercpp_tpu.parallel import launch
 
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    procs = []
-    for pid in range(args.simulate):
-        cmd = [sys.executable, __file__,
-               "--coordinator", f"localhost:{port}",
-               "--num-processes", str(args.simulate),
-               "--process-id", str(pid),
-               "--local-devices", str(args.local_devices),
-               "--batch", str(args.batch), "--bits", str(args.bits),
-               "--reps", str(args.reps), "--code", args.code,
-               "--decode", args.decode]
-        procs.append(subprocess.Popen(cmd, env=env))
-    rc = [p.wait() for p in procs]
-    if any(rc):
-        sys.exit("simulated scaling run failed")
+    def cmd(pid, port):
+        return [sys.executable, __file__,
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(args.simulate),
+                "--process-id", str(pid),
+                "--local-devices", str(args.local_devices),
+                "--batch", str(args.batch), "--bits", str(args.bits),
+                "--reps", str(args.reps), "--code", args.code,
+                "--decode", args.decode]
+
+    try:
+        outs = launch.spawn_fleet(cmd, args.simulate,
+                                  success_token='"metric"')
+    except RuntimeError as e:
+        sys.exit(f"simulated scaling run failed: {e}")
+    for out in outs:            # rank 0 carries the JSON result line
+        if out.strip():
+            print(out.strip(), flush=True)
 
 
 def main():

@@ -627,6 +627,12 @@ def walk_plane_frames(spec: StaticSpec, packed: jnp.ndarray,
         use_pallas = True
     G = max(1, min(frames_per_group, B))
     tb = _pick_walk_tb(N, G, WRr)
+    # Very wide planes (WRr >= 16, K >= 17) can blow the VMEM budget at
+    # the default frame group; narrow the group rather than abandoning
+    # the kernel for the transpose-heavy XLA walk.
+    while tb < WALK_SLAB and G > 1:
+        G = max(1, G // 2)
+        tb = _pick_walk_tb(N, G, WRr)
     whole = False
     if tb < WALK_SLAB and N <= 32:
         # short histories (tests, small streaming windows): one

@@ -206,7 +206,6 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
 
         halo_dec = jax.lax.ppermute(packed[:, :O], "time", left_perm)
         ext_dec = jnp.concatenate([packed, halo_dec], axis=1)  # (B, L+O, ..)
-        rows_ext = jnp.transpose(ext_dec, (1, 2, 3, 0))
         # own rows were local steps O..O+L-1 (interior) or 0..L-1 (first);
         # halo rows always come from an interior neighbour's first O rows
         base = jnp.where(idx == 0, 0, O)

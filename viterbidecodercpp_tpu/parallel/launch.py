@@ -305,26 +305,25 @@ def _local_block(arr: np.ndarray, mesh, axes: Sequence[Optional[str]],
     return out
 
 
-def launch_processes(num_processes: int, local_devices: int, *,
-                     timeout: float = 600.0) -> None:
-    """Spawn ``num_processes`` dryrun workers on this machine (CPU
-    simulation) and wait for all of them; raises on any failure."""
+def spawn_fleet(make_cmd, num_processes: int, *, timeout: float = 600.0,
+                success_token: Optional[str] = None) -> list:
+    """Spawn one local worker process per rank against a fresh
+    coordinator port and wait for all of them; raises on any failure.
+
+    ``make_cmd(pid, port)`` returns the argv for rank ``pid``.
+    ``XLA_FLAGS`` is stripped from the children's environment so each
+    sizes its own virtual fleet.  Output is captured and included in
+    failure messages; ``success_token``, when given, must appear in at
+    least one worker's output.  Returns the per-rank outputs."""
     import subprocess
-    import sys
 
     port = _free_port()
-    procs = []
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children size their own virtual fleet
-    for pid in range(num_processes):
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "viterbidecodercpp_tpu.parallel.launch",
-             "--coordinator", f"localhost:{port}",
-             "--num-processes", str(num_processes),
-             "--process-id", str(pid),
-             "--local-devices", str(local_devices)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True))
+    procs = [subprocess.Popen(make_cmd(pid, port), env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in range(num_processes)]
     outs = []
     fail = []
     for pid, p in enumerate(procs):
@@ -334,16 +333,36 @@ def launch_processes(num_processes: int, local_devices: int, *,
             p.kill()
             out, _ = p.communicate()
             fail.append(pid)
-        outs.append(out)
+        outs.append(out or "")
         if p.returncode != 0:
             fail.append(pid)
     if fail:
         raise RuntimeError(
-            "multi-process dryrun failed in process(es) "
-            f"{sorted(set(fail))}:\n" + "\n".join(outs))
-    if not any("MULTIPROCESS OK" in o for o in outs):
-        raise RuntimeError("coordinator did not report success:\n"
+            f"worker process(es) {sorted(set(fail))} failed:\n"
+            + "\n".join(outs))
+    if success_token is not None and not any(success_token in o
+                                             for o in outs):
+        raise RuntimeError("no worker reported success:\n"
                            + "\n".join(outs))
+    return outs
+
+
+def launch_processes(num_processes: int, local_devices: int, *,
+                     timeout: float = 600.0) -> None:
+    """Spawn ``num_processes`` dryrun workers on this machine (CPU
+    simulation) and wait for all of them; raises on any failure."""
+    import sys
+
+    def cmd(pid, port):
+        return [sys.executable, "-m",
+                "viterbidecodercpp_tpu.parallel.launch",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid),
+                "--local-devices", str(local_devices)]
+
+    spawn_fleet(cmd, num_processes, timeout=timeout,
+                success_token="MULTIPROCESS OK")
 
 
 def _main(argv=None):

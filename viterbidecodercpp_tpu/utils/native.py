@@ -148,7 +148,9 @@ def ensure_built(verbose: bool = False) -> bool:
                   file=sys.stderr)
         if not build(verbose=verbose):
             return False
-        _load_failed = False
+    # The library may have appeared since a failed available() probe
+    # (built here, or externally via `make -C native`): retry the load.
+    _load_failed = False
     return available()
 
 
