@@ -26,6 +26,26 @@ def test_two_process_dryrun():
     launch.launch_processes(2, 2, timeout=540)
 
 
+def test_spawn_fleet_failure_paths():
+    """spawn_fleet surfaces worker failures with their output, and
+    enforces the success token."""
+    import sys
+
+    ok = [sys.executable, "-c", "print('TOKEN ok')"]
+    bad = [sys.executable, "-c", "print('boom'); raise SystemExit(3)"]
+
+    outs = launch.spawn_fleet(lambda pid, port: ok, 2,
+                              success_token="TOKEN")
+    assert len(outs) == 2 and all("TOKEN" in o for o in outs)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        launch.spawn_fleet(lambda pid, port: bad, 1)
+
+    with pytest.raises(RuntimeError, match="success"):
+        launch.spawn_fleet(lambda pid, port: ok, 1,
+                           success_token="ABSENT")
+
+
 def test_hybrid_mesh_single_process():
     """make_hybrid_mesh on the in-process (virtual 8-device) fleet:
     axis order is DCN-outer, sizes must cover every device."""
