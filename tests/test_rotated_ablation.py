@@ -18,7 +18,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
-from viterbidecodercpp_tpu.ops import jax_core
+from viterbidecodercpp_tpu.ops import chainback_pallas, jax_core
 from viterbidecodercpp_tpu.ops.bigstate import _rotr
 
 import ablate_k9_rotated as rot
@@ -61,3 +61,14 @@ def test_rotated_small_matches_oracle(code_name, mode):
         state_bits[_rotr(sidx, -(t + 1), n), :] = bits
         obits = (px_np[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
         assert np.array_equal(state_bits, obits), f"step {t}"
+
+    # end-to-end: the slot-order chainback walk over the rotated rows
+    # equals the state-order walk over the oracle rows
+    total_bits = T - n
+    ends = jnp.zeros((B,), jnp.int32)
+    rows_rot = jnp.asarray(p).reshape(T_pad, W, B)[:T]
+    bits_rot = chainback_pallas.chainback_pallas(
+        spec, rows_rot, ends, total_bits, interpret=True, slot_order=True)
+    bits_ref = chainback_pallas.chainback_pallas(
+        spec, px, ends, total_bits, interpret=True)
+    assert np.array_equal(np.asarray(bits_rot), np.asarray(bits_ref))

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
-from viterbidecodercpp_tpu.ops import acs_pallas, jax_core
+from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
 from viterbidecodercpp_tpu.ops.bigstate import _rotr
 from viterbidecodercpp_tpu.ops.jax_core import StaticSpec
 
@@ -233,9 +233,24 @@ def check(mode: str, interpret: bool, code_name: str):
             state_bits[s_prime, :] = bits
             obits = (px_np[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
             ok_d = ok_d and np.array_equal(state_bits, obits)
+        # end-to-end: slot-order walk (chainback_pallas slot_order=True)
+        # over the rotated kernel's own rows == state-order walk over
+        # the oracle rows, for every emitted data bit
+        total_bits = T - n
+        ok_w = True
+        if total_bits > 0:
+            ends = jnp.zeros((B,), jnp.int32)
+            rows_rot = jnp.asarray(p).reshape(T_pad, W, B)[:T]
+            bits_rot = chainback_pallas.chainback_pallas(
+                spec, rows_rot, ends, total_bits, interpret=interpret,
+                slot_order=True)
+            bits_ref = chainback_pallas.chainback_pallas(
+                spec, px, ends, total_bits, interpret=interpret)
+            ok_w = np.array_equal(np.asarray(bits_rot),
+                                  np.asarray(bits_ref))
         print(f"{mode} chunks={chunks} T={T}: metrics={ok_m} acc={ok_a} "
-              f"decisions={ok_d}")
-        if not (ok_m and ok_a and ok_d):
+              f"decisions={ok_d} walk={ok_w}")
+        if not (ok_m and ok_a and ok_d and ok_w):
             raise SystemExit(1)
 
 
@@ -246,7 +261,8 @@ def _timed(f, args, sink_index=2):
     return time.perf_counter() - t0
 
 
-def bench(mode: str, B: int, T: int, chunks: int, code_name: str):
+def bench(mode: str, B: int, T: int, chunks: int, code_name: str,
+          e2e: bool = False):
     code = get_code(code_name)
     config = get_decode_config(DecodeType(mode), code.R)
     spec = jax_core.make_static_spec(code, config)
@@ -262,12 +278,24 @@ def bench(mode: str, B: int, T: int, chunks: int, code_name: str):
     sym_cols = jnp.asarray(cols)
     m0 = jax_core.initial_metrics(spec, B)          # (S, B)
 
+    n = code.K - 1
+    total_bits = T - n
+    ends = jnp.zeros((B,), jnp.int32)
+    W = spec.S // 32
+
     @jax.jit
     def run_rot(m, s, reps):
         def body(i, carry):
             m, sink = carry
             m2, packed, acc = acs_rotated_small(spec, m, s, chunks, T, False)
-            return m2, sink + acc.astype(jnp.int32).sum()
+            sink = sink + acc.astype(jnp.int32).sum()
+            if e2e:
+                rows = packed.reshape(T_pad, W, B)[:T]
+                bits = chainback_pallas.chainback_pallas(
+                    spec, rows, ends, total_bits, interpret=False,
+                    slot_order=True)
+                sink = sink + bits.astype(jnp.int32).sum()
+            return m2, sink
         return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 
     @jax.jit
@@ -275,7 +303,12 @@ def bench(mode: str, B: int, T: int, chunks: int, code_name: str):
         def body(i, carry):
             m, sink = carry
             m2, packed, acc = acs_pallas.acs_pallas(spec, m, s)
-            return m2, sink + acc.astype(jnp.int32).sum()
+            sink = sink + acc.astype(jnp.int32).sum()
+            if e2e:
+                bits = chainback_pallas.chainback_pallas(
+                    spec, packed, ends, total_bits, interpret=False)
+                sink = sink + bits.astype(jnp.int32).sum()
+            return m2, sink
         return jax.lax.fori_loop(0, reps, body, (m, jnp.zeros((), jnp.int32)))
 
     for name, f, args in (("production acs_pallas", run_prod, (m0, syms_bt)),
@@ -304,10 +337,14 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=2048)
     ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--e2e", action="store_true",
+                    help="include the chainback in each bench arm "
+                         "(slot-order walk for the rotated kernel)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.check:
         check(args.mode, args.interpret, args.code)
     else:
-        bench(args.mode, args.batch, args.steps, args.chunks, args.code)
+        bench(args.mode, args.batch, args.steps, args.chunks, args.code,
+              e2e=args.e2e)

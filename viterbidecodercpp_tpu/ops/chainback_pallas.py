@@ -57,9 +57,10 @@ def _select_word(words, widx, W):
 
 
 def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
-                 time_block: int):
+                 time_block: int, slot_order: bool):
     W = spec.W
     Kb = spec.K - 1
+    smask = spec.S - 1
 
     def kernel(packed_ref, end_ref, bits_ref, state_scr):
         block = pl.program_id(0)
@@ -82,9 +83,17 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
                 t = row_base + goff * CHUNK + t_local
                 live = t < total_rows
                 rows = slab[t_local * W:(t_local + 1) * W, :]
-                widx = state >> 5
+                if slot_order:
+                    # Rotated in-place ACS layouts (the plane kernel's
+                    # schedule on the small geometry): the bit for
+                    # state s at step t sits at slot rotr_n(s, t+1)
+                    rot = (t + 1) % Kb
+                    q = ((state >> rot) | (state << (Kb - rot))) & smask
+                else:
+                    q = state
+                widx = q >> 5
                 sel = _select_word(rows, widx, W)
-                d = (sel >> (state & 31)) & 1
+                d = (sel >> (q & 31)) & 1
                 new_state = (state >> 1) | (d << (Kb - 1))
                 state = jnp.where(live, new_state, state)
                 out_rows[t_local] = d
@@ -99,10 +108,11 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
                       end_state: jnp.ndarray, total_rows: int,
-                      interpret: bool, time_block: int) -> jnp.ndarray:
+                      interpret: bool, time_block: int,
+                      slot_order: bool = False) -> jnp.ndarray:
     """packed: (T_pad * W, B) int32 with T_pad % time_block == 0;
     end_state: (1, B). Returns (T_pad, B) int32 decision-path bits."""
     W = spec.W
@@ -110,7 +120,8 @@ def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
     T_pad = TW // W
     num_blocks = T_pad // time_block
 
-    kernel = _make_kernel(spec, total_rows, num_blocks, time_block)
+    kernel = _make_kernel(spec, total_rows, num_blocks, time_block,
+                          slot_order)
     return pl.pallas_call(
         kernel,
         out_shape=jax_core.sds_like(packed, (T_pad, B), jnp.int32),
@@ -134,11 +145,17 @@ def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
 
 def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
                      end_state: jnp.ndarray, total_bits: int,
-                     *, interpret: bool = None) -> jnp.ndarray:
+                     *, interpret: bool = None,
+                     slot_order: bool = False) -> jnp.ndarray:
     """Drop-in replacement for :func:`jax_core.chainback_scan`.
 
     packed: (T, W, B) int32 decision rows with T >= total_bits + K - 1;
     end_state: (B,) int32.  Returns (B, total_bits) uint8 data bits.
+
+    ``slot_order``: the rows were packed by a rotated in-place ACS
+    layout (slot q at step t holds the bit for state rotl_n(q, t+1) -
+    the plane-kernel schedule on the (S, B) sublane geometry, see
+    tools/ablate_k9_rotated.py); the walk un-rotates per row.
     """
     T, W, B = packed.shape
     assert W == spec.W
@@ -151,6 +168,10 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
         # K=15-class codes: the per-lane word select unrolls W-wide;
         # beyond the lane-resident bound use the XLA scan (same fallback
         # boundary as the ACS kernel).
+        if slot_order:
+            raise ValueError("slot_order walk is lane-resident only; "
+                             "big-state codes use bigstate_pallas."
+                             "walk_plane_frames")
         return jax_core.chainback_scan(spec, packed, end_state, total_bits)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -165,6 +186,6 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
                    ((0, 0), (0, B_pad - B)))
 
     bits = _chainback_padded(spec, p, ends, rows_needed, bool(interpret),
-                             time_block)
+                             time_block, bool(slot_order))
     out = jnp.swapaxes(bits[Kb:rows_needed, :B], 0, 1)
     return out.astype(jnp.uint8)
