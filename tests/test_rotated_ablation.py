@@ -72,3 +72,43 @@ def test_rotated_small_matches_oracle(code_name, mode):
     bits_ref = chainback_pallas.chainback_pallas(
         spec, px, ends, total_bits, interpret=True)
     assert np.array_equal(np.asarray(bits_rot), np.asarray(bits_ref))
+
+
+def test_slot_order_walk_multiblock():
+    """The slot-order walk's per-row rotation uses the absolute trellis
+    step t; verify it stays phase-correct across time_block grid
+    boundaries (the kernel walks blocks newest->oldest)."""
+    code = get_code("Basic K=3 R=1/2")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    n = code.K - 1
+    tb = chainback_pallas._auto_time_block(spec.W, 128)
+    rng = np.random.RandomState(7)
+    B = 128
+    T = 3 * tb + 5
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (B, T, code.R)).astype(np.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    _, px, _ = jax_core.acs_scan(spec, m0, jnp.asarray(syms))
+    total_bits = T - n
+    ends = jnp.zeros((B,), jnp.int32)
+    bits_ref = chainback_pallas.chainback_pallas(spec, px, ends, total_bits,
+                                                 interpret=True)
+    # re-pack the oracle's state-order rows into slot order: slot
+    # rotr_n(s, t+1) holds state s's decision bit at step t
+    W = spec.W
+    px_np = np.asarray(px)
+    sidx = np.arange(spec.S)
+    rows_rot = np.zeros_like(px_np)
+    for t in range(T):
+        bits = (px_np[t][sidx // 32, :] >> (sidx % 32)[:, None]) & 1
+        slots = _rotr(sidx, t + 1, n)
+        acc = np.zeros((W, B), np.int64)
+        np.add.at(acc, (slots // 32,),
+                  (bits.astype(np.int64) << (slots % 32)[:, None]))
+        rows_rot[t] = acc.astype(np.int32)
+    bits_rot = chainback_pallas.chainback_pallas(
+        spec, jnp.asarray(rows_rot), ends, total_bits, interpret=True,
+        slot_order=True)
+    assert np.array_equal(np.asarray(bits_rot), np.asarray(bits_ref))
