@@ -21,24 +21,101 @@ measured on this host with the reference's own run_benchmark
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+METRIC = "decoded symbols/s/chip (K=7 R=1/2 soft-8bit, ACS+chainback)"
+
+
+def _emit_error(diagnosis):
+    """One structured JSON line instead of a bare stack trace."""
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "symbols/s",
+        "vs_baseline": None,
+        "error": diagnosis,
+    }))
+
+
+def _probe_device(timeout_s):
+    """Dispatch a trivial op in a subprocess (a wedged axon tunnel hangs
+    dispatches uninterruptibly, so the probe must be killable from
+    outside). Returns (ok, detail)."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print('PROBE_OK', float(jnp.ones((8, 128)).sum()), "
+            "jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"trivial-op probe hung >{timeout_s}s (tunnel wedged)"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, "ok"
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    return False, (tail[-1][:300] if tail else f"probe rc={r.returncode}")
+
+
+def _probe_with_retry(sleeps=(0, 30, 60, 120), timeout_s=90):
+    """Bounded retry/backoff: ~5 min worst case, then give up with the
+    last failure detail."""
+    detail = "no attempts"
+    for i, pause in enumerate(sleeps):
+        if pause:
+            time.sleep(pause)
+        ok, detail = _probe_device(timeout_s)
+        if ok:
+            return True, f"probe ok (attempt {i + 1})"
+    return False, detail
 
 
 def main(argv=None):
     import argparse
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=2048)
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the tunnel probe/watchdog wrapper")
+    ap.add_argument("--_measure", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: child process mode
+    args = ap.parse_args(argv)
+
+    if args._measure or args.no_probe:
+        try:
+            _measure(args)
+        except Exception as e:  # structured diagnosis, never a bare trace
+            _emit_error(f"{type(e).__name__}: {str(e)[:400]}")
+            sys.exit(0)
+        return
+
+    ok, detail = _probe_with_retry()
+    if not ok:
+        _emit_error(f"TPU unavailable after bounded retry: {detail}")
+        return
+
+    # Run the measurement in a child with a watchdog: a tunnel that wedges
+    # mid-run would otherwise hang this process forever.
+    cmd = [sys.executable, os.path.abspath(__file__), "--_measure",
+           "--batch", str(args.batch), "--steps", str(args.steps)]
+    try:
+        r = subprocess.run(cmd, timeout=1800)
+        if r.returncode != 0:
+            _emit_error(f"measurement child exited rc={r.returncode}")
+    except subprocess.TimeoutExpired:
+        _emit_error("measurement hung >1800s (tunnel wedged mid-run)")
+
+
+def _measure(args):
     import jax
     import jax.numpy as jnp
 
     from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
     from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=2048)
-    args = ap.parse_args(argv)
 
     code = get_code("Voyager")                     # K=7 R=1/2
     config = get_decode_config(DecodeType.SOFT8, code.R)
@@ -100,7 +177,7 @@ def main(argv=None):
         pass
 
     print(json.dumps({
-        "metric": "decoded symbols/s/chip (K=7 R=1/2 soft-8bit, ACS+chainback)",
+        "metric": METRIC,
         "value": round(symbols_per_s),
         "unit": "symbols/s",
         "vs_baseline": round(symbols_per_s / baseline, 3) if baseline else None,

@@ -11,6 +11,8 @@ final scalars.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
