@@ -113,10 +113,11 @@ def test_decoder_plane_backend_incremental():
 
 
 def test_decoder_plane_backend_traced_update():
-    """update under jit/scan on the plane backend: the rotation phase is
-    selected at run time via lax.switch over the K-1 kernel variants
-    (run_punctured_decoder.cpp:258-282 incremental contract, now fully
-    traceable)."""
+    """update under jit/scan on the plane backend: every chunk runs the
+    one phase-0 kernel and records its rows' walk rotations in
+    state.row_rots, so a traced cursor needs no per-phase variants
+    (run_punctured_decoder.cpp:258-282 incremental contract, fully
+    traceable with a single kernel compile)."""
     import jax
     from viterbidecodercpp_tpu import ViterbiDecoder
     config = get_decode_config(DecodeType.SOFT16, CODE.R)
@@ -199,6 +200,49 @@ def test_plane_checkpoint_roundtrip(tmp_path):
     bits = np.asarray(dec.chainback(st2, total_bits))
     rb, _, _ = ref.viterbi_decode(CODE, config, syms[0], total_bits)
     np.testing.assert_array_equal(rb, bits[0])
+
+
+def test_plane_checkpoint_pre03_no_row_rots(tmp_path):
+    """Migration: a pre-0.3 plane checkpoint (no row_rots field) decodes
+    and resumes correctly.  Its existing rows follow the global rotation
+    schedule rot = (row+1) mod n - exactly what a cursor-0 single-chunk
+    update writes - so the None fallback (chainback) and the
+    synthesised-rots resume path (update) must both reproduce it."""
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    from viterbidecodercpp_tpu.decoder import DecoderState
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    dec = ViterbiDecoder(CODE, config, backend="pallas", traceback_length=24)
+    rng = np.random.RandomState(9)
+    total_bits = 24
+    T = total_bits + CODE.K - 1
+    syms = rng.randint(config.soft_decision_low,
+                       config.soft_decision_high + 1,
+                       (1, T * CODE.R)).astype(np.int32)
+    rb, _, _ = ref.viterbi_decode(CODE, config, syms[0], total_bits)
+
+    # (a) full-decode state with row_rots stripped: the None fallback
+    # walks the global schedule, which matches a single cursor-0 chunk
+    st = dec.reset(1)
+    st = dec.update(st, syms)
+    st_old = DecoderState(metrics=st.metrics, decisions=st.decisions,
+                          accumulated_error=st.accumulated_error,
+                          bit_cursor=st.bit_cursor, row_rots=None)
+    np.testing.assert_array_equal(
+        rb, np.asarray(dec.chainback(st_old, total_bits))[0])
+
+    # (b) mid-stream checkpoint at a phase-aligned cut (a pre-0.3 writer
+    # could checkpoint at any cut; its rows are global-schedule, which
+    # the resume path synthesises before appending new local rows)
+    cut = 14 * CODE.R                     # multiple of K-1 = 14: the one
+    st = dec.reset(1)                     # cut where old global rows ==
+    st = dec.update(st, syms[:, :cut])    # a fresh chunk's local rows
+    st_old = DecoderState(metrics=st.metrics, decisions=st.decisions,
+                          accumulated_error=st.accumulated_error,
+                          bit_cursor=st.bit_cursor, row_rots=None)
+    st_old._host_cursor = 14
+    st2 = dec.update(st_old, syms[:, cut:])
+    np.testing.assert_array_equal(
+        rb, np.asarray(dec.chainback(st2, total_bits))[0])
 
 
 def test_out_of_range_symbols_agree_across_backends():

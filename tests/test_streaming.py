@@ -63,9 +63,10 @@ def test_streaming_latency_and_priming():
 def test_streaming_plane_k15():
     """K=15 streams through the plane kernel (backend='pallas', interpret
     on CPU): committed bits must match the full decode, including pushes
-    whose chunk is NOT a multiple of K-1 (exercising phase0 resume)."""
+    whose chunk is NOT a multiple of K-1 (exercising the per-chunk
+    schedule re-base + static ring rotation pattern)."""
     code = get_code("Cassini")
-    window, chunk = 56, 8          # chunk % 14 != 0 -> several phase0s
+    window, chunk = 56, 8          # chunk % 14 != 0
     sd = StreamingDecoder(code, "SOFT16", window=window, chunk=chunk,
                           backend="pallas")
     assert sd._plane

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,12 @@ class DecoderState:
     decisions: jnp.ndarray      # (T_cap, W, B) int32 packed decision rows
     accumulated_error: jnp.ndarray  # (B,) int32 renormalisation total
     bit_cursor: jnp.ndarray     # () int32 - next decision row to write
+    # Plane (big-state) backend only: per-decision-row rotation amounts
+    # for the slot-order traceback walk.  Each update chunk runs the one
+    # phase-0 plane kernel and records its rows' local rotations here,
+    # so chunked/traced updates never need per-phase kernel variants
+    # (the walk reads rots as data).  None on the lane backends.
+    row_rots: Optional[jnp.ndarray] = None   # (T_cap_phys,) int32
 
     @property
     def batch(self) -> int:
@@ -59,11 +65,15 @@ class DecoderState:
         explicit data, so a stream can be decoded in chunks across
         process restarts or shipped to another host mid-stream.
         """
+        extra = {}
+        if self.row_rots is not None:
+            extra["row_rots"] = np.asarray(self.row_rots)
         np.savez(path,
                  metrics=np.asarray(self.metrics),
                  decisions=np.asarray(self.decisions),
                  accumulated_error=np.asarray(self.accumulated_error),
-                 bit_cursor=np.asarray(self.bit_cursor))
+                 bit_cursor=np.asarray(self.bit_cursor),
+                 **extra)
 
     @classmethod
     def load(cls, path: str) -> "DecoderState":
@@ -74,6 +84,8 @@ class DecoderState:
                 decisions=jnp.asarray(z["decisions"]),
                 accumulated_error=jnp.asarray(z["accumulated_error"]),
                 bit_cursor=jnp.asarray(z["bit_cursor"]),
+                row_rots=(jnp.asarray(z["row_rots"])
+                          if "row_rots" in z.files else None),
             )
 
 
@@ -153,6 +165,7 @@ class ViterbiDecoder:
         differently-backed decoders.
         """
         spec = self.spec
+        row_rots = None
         if self._plane:
             # rows round up to the plane kernel's time-block multiple so
             # a one-shot fill can adopt the kernel's (padded) output
@@ -162,6 +175,9 @@ class ViterbiDecoder:
             tb = bigstate_pallas.time_block_rows(spec)
             phys = -(-self.decision_rows // tb) * tb
             dec_shape = (batch, phys, spec.W // 128, 128)
+            # per-row walk rotations, written alongside each chunk's
+            # decision rows (tiny: phys ints for the whole batch)
+            row_rots = jnp.zeros(phys, jnp.int32)
         else:
             dec_shape = (self.decision_rows, spec.W, batch)
         state = DecoderState(
@@ -173,6 +189,7 @@ class ViterbiDecoder:
                        if _alloc_decisions else None),
             accumulated_error=jnp.zeros(batch, jnp.int32),
             bit_cursor=jnp.zeros((), jnp.int32),
+            row_rots=row_rots,
         )
         state._host_cursor = 0  # host mirror for the capacity check
         return state
@@ -222,27 +239,27 @@ class ViterbiDecoder:
                     "(set_traceback_length before reset, or chainback "
                     "and reset between blocks)")
         backend = "plane" if self._plane else self.backend
-        phase0 = 0
         full = False
         if self._plane:
-            # The plane kernel's layout-rotation schedule is keyed to the
-            # global trellis step; chunked updates must resume at the
-            # carried phase (a static kernel parameter - chunk sizes that
-            # are multiples of K-1 reuse one compiled kernel, others
-            # compile up to K-1 variants).
+            # Every chunk runs the one phase-0 plane kernel (the
+            # kernel's metric contract is logical state order at both
+            # ends, so a mid-stream chunk can re-base its internal
+            # rotation schedule to age 0); the chunk's local per-row
+            # rotations are recorded in state.row_rots for the walk,
+            # which takes them as data.  One compile per chunk length -
+            # no per-phase variants, traced or not.
             if cursor is None:
-                # Fully-traced pipeline (update under jit/scan): the
-                # phase is selected at run time with lax.switch over the
-                # K-1 pre-built kernel variants (phase0=-1 sentinel).
-                # First trace compiles all K-1 variants.
                 if state.decisions is None:
                     raise ValueError(
                         "decision buffer was deferred (reset with "
                         "_alloc_decisions=False); traced updates need an "
                         "allocated buffer")
-                phase0 = -1
+                if state.row_rots is None:
+                    raise ValueError(
+                        "plane-backend state lacks row_rots (pre-0.3 "
+                        "checkpoint?); traced updates need it - reset, or "
+                        "run one eager update first")
             else:
-                phase0 = cursor % (self.code.K - 1)
                 # one-shot fill: the kernel's padded output buffer matches
                 # the (equally padded) state buffer exactly - adopt it
                 from .ops import bigstate_pallas
@@ -253,47 +270,44 @@ class ViterbiDecoder:
                         "decision buffer was deferred (reset with "
                         "_alloc_decisions=False) but this update is not a "
                         "one-shot full fill")
-        new = self._update_jit(self.spec, backend, phase0, full, state,
+                if state.row_rots is None:
+                    # pre-0.3 checkpoint: its existing rows follow the
+                    # global schedule rot = (row+1) mod n; materialise
+                    # that, then let new chunks overwrite their rows
+                    n = self.code.K - 1
+                    state = dataclasses.replace(
+                        state, row_rots=jnp.asarray(
+                            (np.arange(phys_rows) + 1) % n, jnp.int32))
+                    state._host_cursor = cursor
+        new = self._update_jit(self.spec, backend, full, state,
                                symbols.reshape(B, nbits, self.code.R))
         if cursor is not None:
             new._host_cursor = cursor + nbits
         return new
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                       donate_argnums=(4,))
-    def _update_jit(spec, backend, phase0, full, state: DecoderState,
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                       donate_argnums=(3,))
+    def _update_jit(spec, backend, full, state: DecoderState,
                     symbols: jnp.ndarray) -> DecoderState:
         # Decoder contract (as the reference harness guarantees before
         # every decode, helpers/test_helpers.h:88-93): soft symbols lie
         # in [low, high].  Clamping here makes every backend agree
         # bit-for-bit on out-of-range inputs too.
         symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
+        row_rots = state.row_rots
         if backend == "plane":
             from .ops import bigstate_pallas
-            if phase0 < 0:
-                # traced cursor: runtime phase select over the K-1
-                # compiled rotation variants (the schedule is a static
-                # kernel parameter, viterbi layout invariant - see
-                # acs_plane_pallas phase0)
-                n = spec.K - 1
-
-                def variant(k):
-                    def br(operands):
-                        m, syms = operands
-                        return bigstate_pallas.acs_plane_pallas(
-                            spec, m, syms, phase0=k)
-                    return br
-
-                metrics, packed, acc = jax.lax.switch(
-                    state.bit_cursor % n,
-                    [variant(k) for k in range(n)],
-                    (state.metrics, symbols))
-            else:
-                metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
-                    spec, state.metrics, symbols, phase0=phase0,
-                    keep_padding=full)
+            metrics, packed, acc = bigstate_pallas.acs_plane_pallas(
+                spec, state.metrics, symbols, keep_padding=full)
             nrows = symbols.shape[1]
+            # the chunk's rows were written at local ages 1..nrows: record
+            # their walk rotations (the padded tail past nrows, if any, is
+            # dead rows the chainback masks invalid)
+            n = spec.K - 1
+            chunk_rots = ((jnp.arange(nrows, dtype=jnp.int32) + 1) % n)
+            row_rots = jax.lax.dynamic_update_slice(
+                state.row_rots, chunk_rots, (state.bit_cursor,))
             if full:
                 # one-shot fill: the kernel's own (padded) output IS the
                 # buffer - no slice, no copy
@@ -317,6 +331,7 @@ class ViterbiDecoder:
             decisions=decisions,
             accumulated_error=state.accumulated_error + acc,
             bit_cursor=state.bit_cursor + nrows,
+            row_rots=row_rots,
         )
 
     # -- readout ----------------------------------------------------------
@@ -336,8 +351,12 @@ class ViterbiDecoder:
         ends = jnp.full((B,), end_state, jnp.int32)
         if self._plane:
             from .ops import bigstate_pallas
+            # row_rots carries each row's walk rotation (chunk-local
+            # schedule); None (pre-0.3 checkpoint) falls back to the
+            # global schedule those checkpoints were written with
             return bigstate_pallas.chainback_plane(
-                self.spec, state.decisions, ends, total_bits)
+                self.spec, state.decisions, ends, total_bits,
+                state.row_rots)
         if self.backend == "pallas":
             from .ops import chainback_pallas
             return chainback_pallas.chainback_pallas(

@@ -318,11 +318,15 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     (metrics (S, B) logical order, packed (B, T, WRr, COLS) slot-order
     decision words, acc (B,)).
 
-    ``phase0``: global trellis-step count already consumed by this carry,
-    mod K-1 (0 for a fresh decode).  Chunked updates must thread it so
-    the layout rotation schedule - and hence the slot each decision bit
-    lands in - stays aligned with the *global* step index that the
-    chainback assumes (rot = (row + 1) mod n).
+    ``phase0``: the layout age of the internal rotation schedule at
+    entry, mod K-1.  The metric contract is logical state order at both
+    ends regardless; phase0 only changes the *slot order* of the packed
+    decision rows (row i of this call walks with rot (phase0+i+1) mod
+    n).  The decoder/streaming layers always call with phase0=0 and
+    record each chunk's local rotations (DecoderState.row_rots / the
+    streaming ring's static pattern) - one compiled kernel serves any
+    chunk sequence.  Non-zero phase0 remains for direct kernel users
+    who want a single global schedule across chunks.
 
     Consume ``packed`` with :func:`chainback_plane` (the bit layout is
     plane/slot-order, not the ViterbiDecisionBits state order).
@@ -663,10 +667,15 @@ def walk_plane_frames(spec: StaticSpec, packed: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
-                    end_state: jnp.ndarray, total_bits: int) -> jnp.ndarray:
+                    end_state: jnp.ndarray, total_bits: int,
+                    rots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Traceback over (B, T, WRr, COLS) slot-order packed rows
     (acs_plane_pallas output / a plane-backend ``DecoderState``'s
     decision buffer), T >= total_bits + K - 1.
+
+    ``rots``: per-row walk rotation amounts, (T,) i32 (a plane
+    ``DecoderState``'s row_rots); default assumes the fresh-decode
+    schedule (row + 1) mod n.
 
     Walks the whole physical buffer in its native frame-major layout
     (rows past total_bits + K - 1 masked invalid; the K-1 head rows walk
@@ -682,7 +691,8 @@ def chainback_plane(spec: StaticSpec, packed: jnp.ndarray,
             f"decision history has {T_phys} rows < "
             f"total_bits + K - 1 = {total_bits + n}")
     valid = (np.arange(T_phys) < total_bits + n).astype(np.int32)
-    bits = walk_plane_frames(spec, packed, end_state, valid=valid)
+    bits = walk_plane_frames(spec, packed, end_state, rots=rots,
+                             valid=valid)
     return bits[:, n:n + total_bits]
 
 

@@ -91,13 +91,11 @@ class StreamingDecoder:
             hist_shape = (batch, self.window, spec.W // 128, 128)
         else:
             hist_shape = (self.window, spec.W, batch)
-        state = StreamingState(
+        return StreamingState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
             history=jnp.zeros(hist_shape, jnp.int32),
             rows_seen=jnp.zeros((), jnp.int32),
         )
-        state._host_rows = 0
-        return state
 
     def push(self, state: StreamingState, symbols
              ) -> Tuple[StreamingState, jnp.ndarray, jnp.ndarray]:
@@ -114,40 +112,17 @@ class StreamingDecoder:
                              f"{self.chunk * self.code.R} symbols")
         symbols = symbols.reshape(B, self.chunk, self.code.R)
         if self._plane:
-            return self._push_plane(state, symbols)
+            # Every push runs the one phase-0 plane kernel (metric
+            # contract is logical state order at both ends, so the
+            # internal rotation schedule re-bases per chunk).  The ring
+            # shifts by exactly `chunk` rows per push, so each history
+            # row's walk rotation is the *static* pattern
+            # ((i mod chunk) + 1) mod n - one compile, traced or not.
+            return _push_plane_jit(self.spec, self.window, self.chunk,
+                                   state, symbols)
         new_state, bits, valid = _push_jit(self.spec, self.backend,
                                            self.window, self.chunk,
                                            state, symbols)
-        new_state._host_rows = getattr(state, "_host_rows", 0) + self.chunk
-        return new_state, bits, valid
-
-    def _push_plane(self, state: StreamingState, symbols):
-        """Plane-kernel push: the ACS rotation schedule is keyed to the
-        global trellis step.  With a host-known stream position the
-        matching kernel variant is chosen directly (chunk sizes that are
-        multiples of K-1 reuse one compiled kernel); under jit/scan the
-        phase is selected at run time with lax.switch over the K-1
-        variants (first trace compiles all of them).
-        """
-        n = self.code.K - 1
-        rows = getattr(state, "_host_rows", None)
-        if rows is None and not isinstance(state.rows_seen,
-                                           jax.core.Tracer):
-            rows = int(state.rows_seen)
-        if rows is None:
-            # fully-traced stream position: runtime phase select
-            return _push_plane_traced_jit(self.spec, self.window,
-                                          self.chunk, state, symbols)
-        phase0 = rows % n
-        # per-history-row rotation amounts for the walk: history row i is
-        # global step (rows + chunk - window + i); decisions for step t
-        # read with rot (t + 1) mod n
-        g0 = rows + self.chunk - self.window
-        rots = ((np.arange(self.window) + g0 + 1) % n).astype(np.int32)
-        new_state, bits, valid = _push_plane_jit(
-            self.spec, self.window, self.chunk, phase0, state, symbols,
-            jnp.asarray(rots))
-        new_state._host_rows = rows + self.chunk
         return new_state, bits, valid
 
 
@@ -188,66 +163,31 @@ def _push_jit(spec, backend, window, chunk, state: StreamingState,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2),
                    donate_argnums=(3,))
-def _push_plane_traced_jit(spec, window, chunk, state: StreamingState,
-                           symbols: jnp.ndarray):
-    """Plane push with a traced stream position: lax.switch picks the
-    phase variant at run time, and the walk rotations are computed on
-    device from ``rows_seen`` (they enter the walk kernel as data)."""
+def _push_plane_jit(spec, window, chunk, state: StreamingState,
+                    symbols: jnp.ndarray):
+    """Big-state push: plane-kernel ACS + slot-order truncated traceback.
+
+    History ring is (B, window, W/128, 128) in the kernel's frame-major
+    slot-order layout.  Each push runs the phase-0 kernel (the internal
+    rotation schedule re-bases per chunk; the metric contract is logical
+    order either way), so history row i - local age (i mod chunk) + 1
+    within its originating push - walks with the static rotation pattern
+    ((i mod chunk) + 1) mod n.  One compiled kernel serves every push,
+    eager or traced (no per-phase lax.switch variants)."""
     from .ops import bigstate_pallas
 
     n = spec.K - 1
     symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
-
-    def variant(k):
-        def br(operands):
-            m, syms = operands
-            return bigstate_pallas.acs_plane_pallas(spec, m, syms,
-                                                    phase0=k)
-        return br
-
-    metrics, packed, _ = jax.lax.switch(
-        state.rows_seen % n, [variant(k) for k in range(n)],
-        (state.metrics, symbols))
-
-    history = jnp.concatenate([state.history[:, chunk:], packed], axis=1)
-    rows_seen = state.rows_seen + chunk
-
-    best = jnp.argmin(metrics, axis=0).astype(jnp.int32)
-    g0 = state.rows_seen + chunk - window
-    rots = (jnp.arange(window, dtype=jnp.int32) + g0 + 1) % n
-    bits_all = bigstate_pallas.walk_plane_frames(spec, history, best,
-                                                 rots=rots)
-    bits = bits_all[:, :chunk]
-
-    new_state = StreamingState(metrics=metrics, history=history,
-                               rows_seen=rows_seen)
-    valid = rows_seen >= window
-    return new_state, bits, valid
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(4,))
-def _push_plane_jit(spec, window, chunk, phase0, state: StreamingState,
-                    symbols: jnp.ndarray, rots: jnp.ndarray):
-    """Big-state push: plane-kernel ACS + slot-order truncated traceback.
-
-    History ring is (B, window, W/128, 128) in the kernel's frame-major
-    slot-order layout; ``rots`` carries the per-row rotation amounts
-    (computed host-side from the global stream position) so the walk
-    inverts the rotated decision layout without recompiling per push.
-    """
-    from .ops import bigstate_pallas
-
-    symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
     metrics, packed, _ = bigstate_pallas.acs_plane_pallas(
-        spec, state.metrics, symbols, phase0=phase0)
+        spec, state.metrics, symbols)
 
     history = jnp.concatenate([state.history[:, chunk:], packed], axis=1)
     rows_seen = state.rows_seen + chunk
 
     best = jnp.argmin(metrics, axis=0).astype(jnp.int32)       # (B,)
+    rots = ((np.arange(window) % chunk) + 1) % n
     bits_all = bigstate_pallas.walk_plane_frames(
-        spec, history, best, rots=rots)                        # (B, window)
+        spec, history, best, rots=rots.astype(np.int32))       # (B, window)
     bits = bits_all[:, :chunk]
 
     new_state = StreamingState(metrics=metrics, history=history,
