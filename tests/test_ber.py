@@ -1,13 +1,18 @@
-"""Statistical BER regression vs the reference binary's own output.
+"""Statistical BER regression vs the reference binary's own output,
+for all 8 registry codes x 3 decode regimes (the reference commits the
+same coverage in data_snr_ber_x86.txt, run_snr_ber.cpp:280-400).
 
-Ground truth: data_ber_reference_voyager.json and
-data_ber_reference_k9_k15.json, produced on this host by the
-reference's run_snr_ber (Release, -march=native, AVX2 kernels,
-seed 777; -k 0.2 for Voyager, -k 20 for CDMA IS-95A, -k 500 for
-Cassini).  Note the *committed* data_snr_ber_x86.txt files in the
-reference repo use an older shifted Eb/No convention (sweeps starting
-at -9 dB) and do not match the current reference sources; the freshly
-built binary does, and this framework matches it point-for-point.
+Ground truth: data_ber_reference_voyager.json,
+data_ber_reference_k9_k15.json and data_ber_reference_5codes.json,
+produced on this host by the reference's run_snr_ber (Release,
+-march=native, seed 777; fastest valid kernel per combination; -k 0.2
+for Voyager, -k 20 for CDMA IS-95A, -k 500 for Cassini; the 5-code
+round-3 sweep used -k {1.2, 5, 29, 38, 154} for {K=3, K=5, LTE, DAB,
+CDMA-2000} = ~1.5e8 bits/point, -T 180).  Note the *committed*
+data_snr_ber_x86.txt files in the reference repo use an older shifted
+Eb/No convention (sweeps starting at -9 dB) and do not match the
+current reference sources; the freshly built binary does, and this
+framework matches it point-for-point.
 
 These tests are statistical (independent RNG streams), so they assert
 agreement within Poisson counting error over a 1.3x ratio window, with
@@ -33,6 +38,11 @@ _FILES = {
     "Voyager": "data_ber_reference_voyager.json",
     "CDMA IS-95A": "data_ber_reference_k9_k15.json",
     "Cassini": "data_ber_reference_k9_k15.json",
+    "Basic K=3 R=1/2": "data_ber_reference_5codes.json",
+    "Basic K=5 R=1/2": "data_ber_reference_5codes.json",
+    "LTE": "data_ber_reference_5codes.json",
+    "DAB Radio": "data_ber_reference_5codes.json",
+    "CDMA 2000": "data_ber_reference_5codes.json",
 }
 
 
@@ -116,6 +126,34 @@ def test_ber_matches_reference_cassini_k15(decode_type, points):
     for EbNo in points:
         key, sub = jax.random.split(key)
         check_point("Cassini", decode_type, EbNo, sub, block_bits=1024)
+
+
+# gate points for the round-3 5-code extension: two per (code, mode) in
+# the 1e-3..3e-2 reference-BER band (budgets stay <= ~3e6 bits/point)
+_FIVE_CODE_POINTS = {
+    "Basic K=3 R=1/2": {"SOFT16": [2.0, 3.0], "SOFT8": [2.5, 3.5],
+                        "HARD8": [3.5, 4.5]},
+    "Basic K=5 R=1/2": {"SOFT16": [2.0, 3.0], "SOFT8": [2.5, 3.5],
+                        "HARD8": [3.5, 4.5]},
+    "LTE":             {"SOFT16": [1.5, 2.5], "SOFT8": [1.5, 2.5],
+                        "HARD8": [2.5, 3.5]},
+    "DAB Radio":       {"SOFT16": [1.5, 2.5], "SOFT8": [1.5, 2.5],
+                        "HARD8": [2.5, 3.5]},
+    "CDMA 2000":       {"SOFT16": [1.0, 2.0], "SOFT8": [1.0, 2.0],
+                        "HARD8": [2.0, 3.0]},
+}
+
+
+@pytest.mark.parametrize("code_name", sorted(_FIVE_CODE_POINTS))
+@pytest.mark.parametrize("decode_type", ["SOFT16", "SOFT8", "HARD8"])
+def test_ber_matches_reference_remaining_codes(code_name, decode_type):
+    import zlib
+    # deterministic per-combination seed (str hash() is salted per run)
+    key = jax.random.PRNGKey(
+        zlib.crc32(f"{code_name}/{decode_type}".encode()) & 0x7FFFFFFF)
+    for EbNo in _FIVE_CODE_POINTS[code_name][decode_type]:
+        key, sub = jax.random.split(key)
+        check_point(code_name, decode_type, EbNo, sub)
 
 
 def test_ber_host_chain_cassini_point():
