@@ -245,6 +245,49 @@ def test_plane_checkpoint_pre03_no_row_rots(tmp_path):
         rb, np.asarray(dec.chainback(st2, total_bits))[0])
 
 
+def test_truncated_chainback_matches_exact():
+    """mode='truncated' block-parallel traceback vs the exact walk on a
+    noisy Cassini decode: with overlap >= ~7K the committed bits agree
+    (the truncated-Viterbi merge property, viterbi_decoder_core.h:214-
+    236's exact walk being the oracle).  Also covers chunked updates
+    (row_rots-driven rotations reach the truncated walk too)."""
+    from viterbidecodercpp_tpu import ViterbiDecoder
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    rng = np.random.RandomState(11)
+    B, total_bits = 2, 288
+    T = total_bits + CODE.K - 1
+    dec = ViterbiDecoder(CODE, config, backend="pallas",
+                         traceback_length=total_bits)
+    # real encoded frames + mild channel noise (the merge property needs
+    # genuine survivor structure, not random decisions)
+    data = rng.randint(0, 256, (B, total_bits // 8), dtype=np.uint8)
+    syms = np.stack([ref.encode_bytes(CODE, d, 100, -100) for d in data])
+    syms = np.clip(syms + rng.normal(0, 20, syms.shape), -127,
+                   127).astype(np.int32)
+    st = dec.reset(B)
+    cut = 130 * CODE.R                   # chunked: exercises row_rots
+    st = dec.update(st, syms[:, :cut])
+    st = dec.update(st, syms[:, cut:])
+    exact = np.asarray(dec.chainback(st, total_bits))
+    # block=64: 5 tiles, three of them interior (cold-start + converge)
+    trunc = np.asarray(dec.chainback(st, total_bits, mode="truncated",
+                                     block=64, overlap=96))
+    np.testing.assert_array_equal(exact, trunc)
+    # and the decode itself round-trips
+    bits_ref = np.unpackbits(data, axis=1)[:, :total_bits]
+    np.testing.assert_array_equal(bits_ref, exact)
+
+
+def test_truncated_chainback_rejected_on_lane_backend():
+    from viterbidecodercpp_tpu import ViterbiDecoder, get_code
+    import pytest as _pytest
+    voy = get_code("Voyager")
+    dec = ViterbiDecoder(voy, "SOFT16", backend="xla", traceback_length=16)
+    st = dec.reset(1)
+    with _pytest.raises(ValueError, match="truncated"):
+        dec.chainback(st, 8, mode="truncated")
+
+
 def test_out_of_range_symbols_agree_across_backends():
     """The decoder-wide clamp contract: xla and plane backends decode
     out-of-range symbols identically."""

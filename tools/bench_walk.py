@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark the plane chainback walks (exact vs truncated) on real
+decision tensors (Cassini K=15 by default).
+
+Arms:
+  exact      - chainback_plane (sequential walk, the production path)
+  truncated  - chainback_plane_truncated at --block/--overlap
+
+Timing: carry-chained reps inside one jit, device_get sink, median
+marginal between two rep counts (PERF.md methodology).  The decision
+tensor comes from a real ACS pass so the truncated arm's agreement
+check below exercises genuine survivor structure; the tool asserts
+exact == truncated before timing.
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import argparse
+import time
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def main():
+    apply_platform()       # consumes --cpu; must precede any jax init
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="Cassini")
+    ap.add_argument("--mode", default="SOFT16")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--overlap", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+    from viterbidecodercpp_tpu.ops import bigstate_pallas as bp
+    from viterbidecodercpp_tpu.ops import jax_core
+
+    code = get_code(args.code)
+    config = get_decode_config(DecodeType(args.mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    n = code.K - 1
+    B, T = args.batch, args.steps
+    total_bits = T - n
+
+    rng = np.random.RandomState(0)
+    # real encoded frames + mild AWGN: the truncated arm's agreement
+    # check below needs genuine survivor structure (uniform-random
+    # symbols have no merge property and would under-report agreement)
+    from viterbidecodercpp_tpu.ops import encoder
+    hi, lo = config.soft_decision_high, config.soft_decision_low
+    data_bits = jnp.asarray(
+        rng.randint(0, 2, (B, total_bits)).astype(np.uint8))
+    out_bits = encoder.encode_bits_jax(code, data_bits)       # (B, T, R)
+    clean = np.where(np.asarray(out_bits) != 0, hi, lo)
+    noise = rng.normal(0, 0.25 * hi, (B, T, code.R))
+    syms = jnp.asarray(np.clip(clean + noise, lo, hi).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    print(f"[bench_walk] {code.name} {args.mode} B={B} T={T} "
+          f"(ACS pass to build the decision tensor...)", flush=True)
+    m, packed, _ = bp.acs_plane_pallas(spec, m0, syms, keep_padding=True)
+    packed = jax.block_until_ready(packed)
+    ends = jnp.zeros(B, jnp.int32)
+
+    def make(fn, reps):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                sink = carry
+                bits = fn(ends + (sink & 0))   # carry-chain via ends
+                return sink + bits.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+        return run
+
+    def marginal(fn):
+        on_tpu = jax.default_backend() == "tpu"
+        n1, n2 = (4, 16) if on_tpu else (1, 2)
+        f1, f2 = make(fn, n1), make(fn, n2)
+        jax.device_get(f1())
+        jax.device_get(f2())
+        vals = []
+        for _ in range(5 if on_tpu else 1):
+            t0 = time.perf_counter(); jax.device_get(f1())
+            t1 = time.perf_counter(); jax.device_get(f2())
+            t2 = time.perf_counter()
+            vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return float(np.median(vals))
+
+    exact_fn = lambda e: bp.chainback_plane(spec, packed, e, total_bits)
+    trunc_fn = lambda e: bp.chainback_plane_truncated(
+        spec, packed, e, total_bits, None, args.block, args.overlap)
+
+    # agreement check first (real survivor structure)
+    be = np.asarray(exact_fn(ends))
+    bt = np.asarray(trunc_fn(ends))
+    agree = (be == bt).mean()
+    print(f"[bench_walk] truncated/exact agreement: {agree:.6f} "
+          f"({(be != bt).sum()} / {be.size} bits differ)")
+
+    for name, fn in (("exact", exact_fn), ("truncated", trunc_fn)):
+        dt = marginal(fn)
+        rate = B * total_bits / dt
+        print(f"{name:10s} {dt*1e3:8.3f} ms/call  {rate:.3e} bit/s")
+
+
+if __name__ == "__main__":
+    main()

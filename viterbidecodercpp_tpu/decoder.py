@@ -342,13 +342,37 @@ class ViterbiDecoder:
         return state.metrics[end_state & (self.spec.S - 1), :]
 
     def chainback(self, state: DecoderState, total_bits: int,
-                  end_state: int = 0) -> jnp.ndarray:
+                  end_state: int = 0, *, mode: str = "exact",
+                  block: int = 512, overlap: int = 128) -> jnp.ndarray:
         """Trace back and return (B, total_bits) decoded data bits
-        (viterbi_decoder_core.h:214-236)."""
+        (viterbi_decoder_core.h:214-236).
+
+        ``mode="exact"`` (default) is the reference-exact sequential
+        walk.  ``mode="truncated"`` (big-state plane backend only)
+        splits the walk into ``block``-row tiles that trace back in
+        parallel, each warmed up by an ``overlap``-row convergence walk
+        - the truncated-Viterbi guarantee streaming.py and
+        parallel/block_sp.py already rely on, exposed on the one-shot
+        path: with overlap >= ~10*K the bits match the exact walk with
+        overwhelming probability, but are no longer guaranteed
+        maximum-likelihood.
+        """
         if total_bits > self._traceback_length:
             raise ValueError("total_bits exceeds traceback_length")
+        if mode not in ("exact", "truncated"):
+            raise ValueError(f"unknown chainback mode {mode!r}")
         B = state.batch
         ends = jnp.full((B,), end_state, jnp.int32)
+        if mode == "truncated":
+            if not self._plane:
+                raise ValueError(
+                    "mode='truncated' is for the big-state plane backend"
+                    " (small codes' exact chainback is already parallel"
+                    " across frames and faster than a truncated walk)")
+            from .ops import bigstate_pallas
+            return bigstate_pallas.chainback_plane_truncated(
+                self.spec, state.decisions, ends, total_bits,
+                state.row_rots, block, overlap)
         if self._plane:
             from .ops import bigstate_pallas
             # row_rots carries each row's walk rotation (chunk-local

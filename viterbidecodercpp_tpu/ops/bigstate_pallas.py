@@ -58,7 +58,8 @@ from .bigstate import _rotr
 from .jax_core import StaticSpec
 
 __all__ = ["supports", "acs_plane_pallas", "chainback_plane",
-           "walk_plane", "walk_plane_frames", "decode_big_pallas"]
+           "chainback_plane_truncated", "walk_plane",
+           "walk_plane_frames", "decode_big_pallas"]
 
 # Production defaults, measured on v5e (tools/bench_plane.py, Cassini
 # SOFT16 B=256 T=1024, two-candidate butterfly + fast_bm): G=8 34.9,
@@ -467,6 +468,40 @@ def _pick_walk_tb(T_phys: int, G: int, WRr: int) -> int:
     return best
 
 
+def _walk_row_step(state, word_slices, rot, ok, n, iota_c, ones):
+    """One traceback row on lane-replicated (G, COLS) tiles: locate the
+    decision bit for ``state`` at rotation ``rot``, broadcast it with an
+    exact f32 MXU pass, and conditionally advance the walk state.
+    Returns (state, d) with d (G, COLS) in {0, 1}.
+
+    The word-row pick is a log2(WRr) select tree - the walk is
+    VPU-issue-bound, and the tree replaced a WRr-iteration masked
+    accumulate (6 ops/word-row -> ~2 ops/level), lifting the measured
+    rate toward the decision-stream DMA cap."""
+    mask = (1 << n) - 1
+    q = ((state >> rot) | (state << (n - rot))) & mask
+    qrow = q >> LANE_BITS
+    sel_c = iota_c == (q & (COLS - 1))
+    shift = qrow & 31
+    wr_id = qrow >> 5
+    words = list(word_slices)
+    level = 0
+    while len(words) > 1:
+        pick = ((wr_id >> level) & 1) == 1
+        words = [jnp.where(pick, words[2 * j + 1], words[2 * j])
+                 for j in range(len(words) // 2)]
+        level += 1
+    dbit = (words[0] >> shift) & 1
+    acc = jnp.where(sel_c, dbit, 0)
+    # <=1 nonzero lane per frame row; the ones-matmul both sums the
+    # lanes and broadcasts the result to every lane
+    d = jax.lax.dot_general(
+        acc.astype(jnp.float32), ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    new_state = (state >> 1) | (d << (n - 1))
+    return jnp.where(ok, new_state, state), d
+
+
 def _make_walk_kernel(spec: StaticSpec, G: int, tb: int,
                       whole: bool = False):
     n = spec.K - 1
@@ -515,28 +550,10 @@ def _make_walk_kernel(spec: StaticSpec, G: int, tb: int,
                 ok = valid_ref[row0 + base + t_local] != 0
                 # slot of the decision for the current state:
                 # q = rotr_n(state, rot) (walk_plane contract)
-                q = ((state >> rot) | (state << (n - rot))) & mask
-                qrow = q >> LANE_BITS
-                sel_c = iota_c == (q & (COLS - 1))
-                shift = qrow & 31
-                wr_id = qrow >> 5
-                # extract the decision bit per word-row sub-block FIRST,
-                # so the masked accumulate carries only {0,1} and the
-                # lane reduce-broadcast below is f32-exact
-                acc = jnp.zeros((G, COLS), jnp.int32)
-                for w in range(WRr):
-                    word_w = slab[:, t_local, w * COLS:(w + 1) * COLS]
-                    dbit_w = (word_w >> shift) & 1
-                    m_w = jnp.logical_and(sel_c, wr_id == w)
-                    acc = acc | jnp.where(m_w, dbit_w, 0)
-                # <=1 nonzero lane per frame row; the ones-matmul both
-                # sums the lanes and broadcasts the result to every lane
-                d = jax.lax.dot_general(
-                    acc.astype(jnp.float32), ones,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-                new_state = (state >> 1) | (d << (n - 1))
-                state = jnp.where(ok, new_state, state)
+                words = [slab[:, t_local, w * COLS:(w + 1) * COLS]
+                         for w in range(WRr)]
+                state, d = _walk_row_step(state, words, rot, ok, n,
+                                          iota_c, ones)
                 cols[t_local] = d[:, 0:1]                # (G, 1)
             # bits block is (tb, G): time on sublanes so both the store
             # offset (multiple of U=8) and the block shape meet
@@ -663,6 +680,172 @@ def walk_plane_frames(spec: StaticSpec, packed: jnp.ndarray,
         whole, bool(interpret))
     bits = jnp.transpose(bits, (0, 2, 1))      # (F, G, N) - small tensor
     return bits.reshape(B_pad, N)[:B].astype(jnp.uint8)
+
+
+def _make_walk_trunc_kernel(spec: StaticSpec, G: int, L: int, O: int,
+                            total_rows: int, T_phys: int):
+    """Block-parallel truncated walk: grid (F, NB, row-slabs); each
+    (frame-group, block) pair walks its own [b*L, b*L + L + O) row
+    window newest->oldest.  The newest O rows only converge the walk
+    state (truncated-Viterbi: survivors merge within ~5-10 constraint
+    lengths - the same guarantee streaming.py and block_sp rely on);
+    the oldest L rows emit the committed bits."""
+    n = spec.K - 1
+    ROWS = spec.S // COLS
+    WRr = ROWS // 32
+    tb = WALK_SLAB
+    Lx = L + O
+    NRBx = Lx // tb
+
+    def kernel(packed_ref, end_ref, rots_ref, bits_ref, state_scr):
+        b = pl.program_id(1)
+        rb = pl.program_id(2)
+        # local row (within this block's ext window) of the slab's oldest
+        base_local = (NRBx - 1 - rb) * tb
+
+        @pl.when(rb == 0)
+        def _init():
+            state_scr[:] = jnp.broadcast_to(end_ref[0, 0], (G, COLS))
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (G, COLS), 1)
+        ones = jnp.ones((COLS, COLS), jnp.float32)
+
+        slab = packed_ref[0]                             # (G, tb, P)
+        state = state_scr[:]
+        cols = [None] * tb
+        for i in range(tb):
+            t_local = tb - 1 - i
+            # unclamped global row: rows past total_rows are skipped
+            # (ok=False leaves the state untouched, mirroring the exact
+            # walk's valid mask); their fetched data is the clamped
+            # block's - garbage the caller never commits
+            r_u = b * L + base_local + t_local
+            ok = r_u < total_rows
+            rot = rots_ref[jnp.minimum(r_u, T_phys - 1)]
+            words = [slab[:, t_local, w * COLS:(w + 1) * COLS]
+                     for w in range(WRr)]
+            state, d = _walk_row_step(state, words, rot, ok, n,
+                                      iota_c, ones)
+            cols[t_local] = d[:, 0:1]                    # (G, 1)
+        state_scr[:] = state
+        bits_ref[0, 0] = jnp.transpose(jnp.concatenate(cols, axis=1))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _walk_trunc_padded(spec: StaticSpec, packed: jnp.ndarray,
+                       ends: jnp.ndarray, rots: jnp.ndarray, G: int,
+                       L: int, O: int, total_rows: int,
+                       interpret: bool) -> jnp.ndarray:
+    """packed: (F, G, T_phys, WRr*COLS) i32; ends: (F, NB, G, 1) i32
+    per-block walk start states; rots: (T_phys,) i32.  Returns
+    (F, NB, L+O, G) i32 path bits (only rows [0, L) of each block are
+    converged/committed)."""
+    F = packed.shape[0]
+    T_phys = packed.shape[2]
+    WRr = (spec.S // COLS) // 32
+    tb = WALK_SLAB
+    Lx = L + O
+    NRBx = Lx // tb
+    NB = ends.shape[1]
+    max_blk = T_phys // tb - 1
+
+    kernel = _make_walk_trunc_kernel(spec, G, L, O, total_rows, T_phys)
+    grid_spec = pl.GridSpec(
+        grid=(F, NB, NRBx),
+        in_specs=[
+            # clamped to the last physical slab; in-kernel validity uses
+            # the unclamped row index, so clamped fetches are never kept
+            pl.BlockSpec(
+                (1, G, tb, WRr * COLS),
+                lambda f, b, rb: (
+                    f, 0,
+                    jnp.minimum(b * (L // tb) + (NRBx - 1 - rb), max_blk),
+                    0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, 1), lambda f, b, rb: (f, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_phys,), lambda f, b, rb: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tb, G),
+                               lambda f, b, rb: (f, b, NRBx - 1 - rb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, COLS), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax_core.sds_like(packed, (F, NB, Lx, G), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(packed, ends, rots)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 5, 6))
+def chainback_plane_truncated(spec: StaticSpec, packed: jnp.ndarray,
+                              end_state: jnp.ndarray, total_bits: int,
+                              rots: Optional[jnp.ndarray] = None,
+                              block: int = 512, overlap: int = 128,
+                              ) -> jnp.ndarray:
+    """Truncated/overlap traceback over (B, T, WRr, COLS) slot-order
+    packed rows: the row range splits into ``block``-row tiles that walk
+    *in parallel*, each preceded by an ``overlap``-row warm-up walk from
+    an arbitrary state (survivor paths merge within ~5-10 constraint
+    lengths, so with overlap >= ~10*K the committed bits equal the exact
+    chainback's with overwhelming probability - the block_sp/streaming
+    guarantee, now on the one-shot path).
+
+    vs the exact :func:`chainback_plane`: the exact walk is one
+    sequential dependency chain over all rows; this one is
+    embarrassingly parallel over tiles at the cost of re-reading
+    (1 + overlap/block) of the decision stream and the probabilistic
+    guarantee.  ``block`` and ``overlap`` must be multiples of 8.
+    """
+    n = spec.K - 1
+    B, T_phys = packed.shape[0], packed.shape[1]
+    WRr = (spec.S // COLS) // 32
+    total_rows = total_bits + n
+    if T_phys < total_rows:
+        raise ValueError(
+            f"decision history has {T_phys} rows < "
+            f"total_bits + K - 1 = {total_rows}")
+    if block % WALK_SLAB or overlap % WALK_SLAB:
+        raise ValueError("block and overlap must be multiples of 8")
+    interpret = jax.default_backend() != "tpu"
+    G = WALK_FRAMES_PER_GROUP
+    # same VMEM backoff as the exact walk: wide planes narrow the group
+    while G > 1 and G * WALK_SLAB * WRr * COLS * 4 > 4 * 1024 * 1024:
+        G //= 2
+    G = max(1, min(G, B))
+    NB = -(-total_rows // block)
+    if rots is None:
+        rots = ((np.arange(T_phys) + 1) % n).astype(np.int32)
+
+    B_pad = -(-B // G) * G
+    F = B_pad // G
+    p = packed.astype(jnp.int32)
+    if B_pad != B:
+        p = jnp.pad(p, ((0, B_pad - B), (0, 0), (0, 0), (0, 0)))
+    p = p.reshape(F, G, T_phys, WRr * COLS)
+    # per-block start states: blocks whose ext window reaches the true
+    # end of the stream start from the caller's end_state (their walk is
+    # exact); interior blocks start anywhere and converge over the
+    # overlap rows
+    ends_b = jnp.pad(end_state.astype(jnp.int32), (0, B_pad - B))
+    ends_b = ends_b.reshape(F, 1, G, 1)
+    exactish = (np.arange(NB) * block + block + overlap
+                >= total_rows)                            # (NB,)
+    ends = jnp.where(jnp.asarray(exactish)[None, :, None, None],
+                     ends_b, 0)
+    bits = _walk_trunc_padded(spec, p, ends,
+                              jnp.asarray(rots, jnp.int32).reshape(T_phys),
+                              G, block, overlap, total_rows,
+                              bool(interpret))            # (F, NB, Lx, G)
+    committed = bits[:, :, :block, :]                     # (F, NB, L, G)
+    committed = jnp.transpose(committed, (0, 3, 1, 2))    # (F, G, NB, L)
+    committed = committed.reshape(B_pad, NB * block)[:B]
+    return committed[:, n:n + total_bits].astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
