@@ -1,13 +1,54 @@
 #!/bin/sh
-# CI-style gate (SURVEY.md section 7 step 8): the full CPU-mesh test
-# suite plus the self-checking harness executables, mirroring the
-# reference workflows (.github/workflows/x86-linux.yml:24-42).
-# Runs anywhere; uses the TPU automatically when one is attached.
+# CI-style gate (SURVEY.md section 7 step 8), mirroring the reference
+# workflows (.github/workflows/x86-linux.yml:24-42).
+#
+#   tools/ci_check.sh          - CPU-mesh suite + harness executables
+#                                (interpret-mode Pallas; runs anywhere)
+#   tools/ci_check.sh --tpu    - compiled-Mosaic gate through the
+#                                tunnel: full suite with the TPU-gated
+#                                tests enabled (VITERBI_TEST_TPU=1,
+#                                incl. the 8-code BER regression), the
+#                                harness executables on the device, and
+#                                the bit-exactness run vs the reference
+#                                binary.  Writes a dated artifact to
+#                                TPU_MATRIX.md so "green on TPU at
+#                                <sha>" is a committed fact.
 set -e
 cd "$(dirname "$0")/.."
 
-python -m pytest tests/ -q
-python tools/run_simple.py
-python tools/run_tests.py
-python tools/run_punctured_decoder.py
-echo "ci_check: ALL GREEN"
+if [ "$1" = "--tpu" ]; then
+    # fail fast (and loudly) if the tunnel is wedged instead of hanging
+    # the whole gate: a trivial dispatch must finish within 90 s
+    timeout 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" \
+        || { echo "ci_check --tpu: TPU unreachable (probe hung/failed)"; exit 3; }
+
+    VITERBI_TEST_TPU=1 python -m pytest tests/ -q
+    python tools/run_simple.py
+    python tools/run_tests.py
+    python tools/run_punctured_decoder.py
+    python tools/verify_vs_reference.py
+
+    sha=$(git rev-parse --short HEAD)
+    dirty=$(git status --porcelain | head -1)
+    [ -n "$dirty" ] && sha="$sha(+dirty)"
+    {
+        echo "# TPU matrix status"
+        echo
+        echo "Written by tools/ci_check.sh --tpu after a fully green"
+        echo "compiled-Mosaic run (full pytest suite incl. the"
+        echo "VITERBI_TEST_TPU gates and the 8-code BER regression,"
+        echo "run_simple / run_tests / run_punctured_decoder on the"
+        echo "device, and tools/verify_vs_reference.py bit-exactness"
+        echo "vs the reference binary)."
+        echo
+        echo "- last passed: $(date -u +%Y-%m-%dT%H:%M:%SZ) @ $sha"
+        echo "- device: $(python -c 'import jax; d = jax.devices()[0]; print(d.platform, d.device_kind)')"
+    } > TPU_MATRIX.md
+    echo "ci_check --tpu: ALL GREEN (artifact: TPU_MATRIX.md)"
+else
+    python -m pytest tests/ -q
+    python tools/run_simple.py
+    python tools/run_tests.py
+    python tools/run_punctured_decoder.py
+    echo "ci_check: ALL GREEN"
+fi
