@@ -1,0 +1,56 @@
+#!/bin/bash
+# One-shot TPU evidence run: executes the hardware-gated backlog in
+# order once the axon tunnel is healthy, writing every artifact the
+# round needs.  Safe to re-run; each stage logs to tools/../tpu_logs/.
+#
+#   tools/tpu_recovery_run.sh           # probe, then run everything
+#   tools/tpu_recovery_run.sh --wait    # poll until the tunnel is up
+#
+# Stages (see PERF.md / VERDICT round-2 item 1):
+#   1. ci_check --tpu          compiled-Mosaic matrix + BER gate -> TPU_MATRIX.md
+#   2. bench.py                headline number (expect ~1.8e9 sym/s)
+#   3. bench_walk.py           round-3 walk select-tree + truncated mode
+#   4. bench_plane.py --check  K=15 plane kernel exactness post-refactor
+#   5. ablate_k9_rotated.py    the standing K=9 rotated-layout decision
+#   6. run_benchmark.py        regenerate data_benchmark_tpu.json at HEAD
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+
+if [ "${1:-}" = "--wait" ]; then
+    echo "[recovery] polling for tunnel recovery (2.5 min interval)..."
+    until probe; do sleep 150; done
+else
+    probe || { echo "[recovery] TPU unreachable; rerun with --wait"; exit 3; }
+fi
+echo "[recovery] tunnel is up ($(date -u +%H:%M:%SZ)); starting the run"
+
+run() { # name timeout cmd...
+    name=$1; tmo=$2; shift 2
+    log="tpu_logs/${STAMP}_${name}.log"
+    echo "[recovery] === $name: $* (timeout ${tmo}s)"
+    if timeout "$tmo" "$@" >"$log" 2>&1; then
+        echo "[recovery] $name OK"
+    else
+        echo "[recovery] $name FAILED rc=$? (see $log; continuing)"
+    fi
+    tail -4 "$log" | sed 's/^/    /'
+}
+
+run ci_tpu      5400 sh tools/ci_check.sh --tpu
+run bench       2400 python bench.py
+run bench_walk  2400 python tools/bench_walk.py
+run plane_check 1800 python tools/bench_plane.py --check
+run plane_sweep 2400 python tools/bench_plane.py
+run k9_check    1800 python tools/ablate_k9_rotated.py --check
+run k9_soft8    2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A"
+run k9_e2e      2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A" --e2e
+run benchmark   5400 python tools/run_benchmark.py -o data_benchmark_tpu.json
+
+echo "[recovery] done; logs in tpu_logs/${STAMP}_*.log"
+echo "[recovery] next: review logs, update PERF.md rows, commit artifacts"
