@@ -345,3 +345,32 @@ def test_k14_random_code_property():
         assert ar == acc[b]
         br = ref.traceback(code, dr, T - (K - 1))
         np.testing.assert_array_equal(br, bits[b])
+
+
+def test_truncated_chainback_single_block_is_exact():
+    """Degenerate truncated walks are *exact* (every tile's ext window
+    reaches the stream end, so every tile starts from the true end
+    state): they must equal chainback_plane even on arbitrary random
+    decision tensors (no survivor structure needed) and for K=14's
+    WRr=2 word-select tree."""
+    from viterbidecodercpp_tpu.codes import CodeSpec
+    rng = np.random.RandomState(13)
+    for code in (CODE, CodeSpec("K14-rand", 14, (0o21675, 0o27123))):
+        config = get_decode_config(DecodeType.SOFT16, code.R)
+        spec = jax_core.make_static_spec(code, config)
+        n = code.K - 1
+        WRr = (spec.S // 128) // 32
+        B, total_bits = 3, 26
+        T_phys = 56                       # multiple of 8, > total_bits+n
+        packed = jnp.asarray(rng.randint(-2**31, 2**31,
+                                         (B, T_phys, WRr, 128),
+                                         dtype=np.int64).astype(np.int32))
+        ends = jnp.asarray(rng.randint(0, spec.S, B).astype(np.int32))
+        exact = np.asarray(bp.chainback_plane(spec, packed, ends,
+                                              total_bits))
+        # NB=1 (block >= total_rows) and NB>1 with every block exactish
+        for blk, ov in ((56, 8), (16, 48)):
+            trunc = np.asarray(bp.chainback_plane_truncated(
+                spec, packed, ends, total_bits, None, blk, ov))
+            np.testing.assert_array_equal(exact, trunc, err_msg=(
+                f"{code.name} block={blk} overlap={ov}"))
