@@ -52,6 +52,11 @@ def main():
                     help="generate the channel on the native C++ runtime "
                          "(mt19937, reference-identical maths) instead of "
                          "on device")
+    ap.add_argument("--dp", type=int, default=None, metavar="N",
+                    help="run each point data-parallel over an N-device "
+                         "'data' mesh (-B frames per device, psum'd "
+                         "global budgets) - the multi-chip replacement "
+                         "for the reference's BER thread pool")
     args = ap.parse_args()
     if handle_list_flag(args):
         return 0
@@ -63,6 +68,10 @@ def main():
     from viterbidecodercpp_tpu import ber
 
     use_pallas = None if args.s is None else (args.s == "pallas")
+    mesh = None
+    if args.dp:
+        from viterbidecodercpp_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((args.dp,), ("data",))
     rows = []
     for ci, code in enumerate(vt.COMMON_CODES):
         if args.c is not None and ci != args.c:
@@ -77,7 +86,7 @@ def main():
                             max_errors=args.n, bits_scale=args.k,
                             host_chain=args.host_chain,
                             use_pallas=use_pallas,
-                            timeout_seconds=args.T)
+                            timeout_seconds=args.T, mesh=mesh)
             for i, p in enumerate(res.points):
                 print(f"name='{code.name}',K={code.K},R={code.R},"
                       f"decode={dt.value},iter={i},EbNo_dB={p.EbNo_dB:.1f},"

@@ -76,28 +76,9 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
     third stopping rule, :361-379) re-enters one compiled program with a
     smaller quota instead of recompiling per slice."""
     config_rate = code.R
-    total_rows = block_bits + code.K - 1
 
     def decode(syms):
-        Bl = syms.shape[0]
-        m0 = jax_core.initial_metrics(spec, Bl)
-        if jax_core.needs_big_state(spec):
-            from .ops import bigstate, bigstate_pallas
-            if use_pallas and bigstate_pallas.supports(spec):
-                bits, _, _, _ = bigstate_pallas.decode_big_pallas(
-                    spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)
-                return bits
-            bits, _, _, _ = bigstate.decode_big(
-                spec, m0, syms, jnp.zeros(Bl, jnp.int32), block_bits)
-            return bits
-        if use_pallas:
-            from .ops import acs_pallas, chainback_pallas
-            _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
-            return chainback_pallas.chainback_pallas(
-                spec, packed, jnp.zeros(Bl, jnp.int32), block_bits)
-        _, packed, _ = jax_core.acs_scan(spec, m0, syms)
-        return jax_core.chainback_scan(
-            spec, packed, jnp.zeros(Bl, jnp.int32), block_bits)
+        return _decode_for_ber(spec, use_pallas, syms, block_bits)
 
     def cond(carry):
         key, bits_done, errors = carry
@@ -122,11 +103,106 @@ def _point_device(spec: jax_core.StaticSpec, code: CodeSpec, key,
     return key, bits_done, errors
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 11))
+def _point_device_dp(spec: jax_core.StaticSpec, code: CodeSpec, key,
+                     EbNo_dB, block_bits: int, batch_per_dev: int,
+                     use_pallas: bool, stop_bits, stop_errors,
+                     bits_done0, errors0, mesh):
+    """Mesh-data-parallel BER point slice: every device runs the
+    generate->encode->AWGN->decode->count loop on its own sub-batch
+    (device-folded PRNG streams), and the stopping condition checks the
+    *psum'd* global totals each iteration, so all devices take the same
+    number of steps and the budgets are global - the TPU-native
+    replacement for the reference's thread-pooled BER tasks
+    (run_snr_ber.cpp:255-277; SURVEY.md section 5: "psum for BER/error
+    reductions across hosts")."""
+    try:
+        from jax import shard_map
+    except ImportError:                    # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(key):
+        idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key[0], idx)
+
+        def body(carry):
+            key, bits_loc, errs_loc, _, _ = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            tx = jax.random.bernoulli(
+                k1, 0.5, (batch_per_dev, block_bits)).astype(jnp.uint8)
+            floats = testsig.modulate_encode(code, tx, True)
+            syms = testsig.awgn_quantize(floats, k2, EbNo_dB, code.R, spec)
+            rx = _decode_for_ber(spec, use_pallas, syms, block_bits,
+                                 axis="data")
+            errs_loc = errs_loc + testsig.count_bit_errors(rx, tx)
+            bits_loc = bits_loc + batch_per_dev * block_bits
+            return (key, bits_loc, errs_loc,
+                    jax.lax.psum(bits_loc, "data"),
+                    jax.lax.psum(errs_loc, "data"))
+
+        def cond(carry):
+            _, _, _, bits_tot, errs_tot = carry
+            return jnp.logical_and(bits_tot < stop_bits,
+                                   errs_tot < stop_errors)
+
+        z = jnp.asarray(bits_done0, jnp.int32)
+        e = jnp.asarray(errors0, jnp.int32)
+        ndev = jax.lax.psum(1, "data")
+        # carried totals resume from the previous slice; locals restart
+        # at a per-device share (device 0 takes the remainder) so the
+        # psum reproduces the totals exactly
+        z_loc = z // ndev + jnp.where(idx == 0, z % ndev, 0)
+        e_loc = e // ndev + jnp.where(idx == 0, e % ndev, 0)
+        _, _, _, bits_tot, errs_tot = jax.lax.while_loop(
+            cond, body, (key, z_loc, e_loc, z, e))
+        return bits_tot[None], errs_tot[None]
+
+    ndev = int(np.prod(mesh.devices.shape))
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P("data"),), out_specs=P("data"))
+    bits_tot, errs_tot = fn(jnp.tile(key[None], (ndev, 1)))
+    return bits_tot[0], errs_tot[0]
+
+
+def _decode_for_ber(spec, use_pallas, syms, block_bits, axis=None):
+    """Shared decode dispatch for the BER loops (same routing as
+    _point_device's inner decode).  ``axis``: set to the shard_map axis
+    name when called inside a mesh shard so the fresh constants
+    (initial metrics, end states) carry the same varying-axis type as
+    the symbols (JAX vma tracking - see parallel.mesh.pvary)."""
+    from .parallel.mesh import pvary
+
+    def v(x):
+        return pvary(x, axis) if axis else x
+
+    Bl = syms.shape[0]
+    m0 = v(jax_core.initial_metrics(spec, Bl))
+    ends = v(jnp.zeros(Bl, jnp.int32))
+    if jax_core.needs_big_state(spec):
+        from .ops import bigstate, bigstate_pallas
+        if use_pallas and bigstate_pallas.supports(spec):
+            bits, _, _, _ = bigstate_pallas.decode_big_pallas(
+                spec, m0, syms, ends, block_bits)
+            return bits
+        bits, _, _, _ = bigstate.decode_big(
+            spec, m0, syms, ends, block_bits)
+        return bits
+    if use_pallas:
+        from .ops import acs_pallas, chainback_pallas
+        _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
+        return chainback_pallas.chainback_pallas(spec, packed, ends,
+                                                 block_bits)
+    _, packed, _ = jax_core.acs_scan(spec, m0, syms)
+    return jax_core.chainback_scan(spec, packed, ends, block_bits)
+
+
 def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
                   key, block_bits: int = 2048, batch: int = 256,
                   max_bits: int, max_errors: int = 10_000,
                   use_pallas: Optional[bool] = None,
-                  timeout_seconds: Optional[float] = None) -> BerPoint:
+                  timeout_seconds: Optional[float] = None,
+                  mesh=None) -> BerPoint:
     """Measure one (code, config, Eb/No) BER point on device.
 
     ``timeout_seconds`` adds the reference's third per-point stopping
@@ -134,6 +210,11 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
     clock expires.  The device loop then runs in bounded slices (a few
     batches each) with the clock checked between slices; without a
     timeout one device program runs the whole point.
+
+    ``mesh``: a `jax.sharding.Mesh` with a 'data' axis - the point then
+    runs data-parallel across the mesh (``batch`` frames *per device*,
+    device-folded PRNG streams, psum'd global stopping budgets), the
+    TPU-native analogue of the reference's thread-pool BER tasks.
     """
     import time
 
@@ -143,17 +224,29 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
         # scan internally for state counts beyond the Pallas bound.
         use_pallas = jax.default_backend() == "tpu"
 
-    def run_slice(key, stop_bits, done, errs):
-        return _point_device(
-            spec, code, key, jnp.float32(EbNo_dB), int(block_bits),
-            int(batch), bool(use_pallas), jnp.int32(stop_bits),
-            jnp.int32(max_errors), done, errs)
+    if mesh is not None:
+        ndev = int(np.prod(mesh.devices.shape))
+
+        def run_slice(key, stop_bits, done, errs):
+            bits_tot, errs_tot = _point_device_dp(
+                spec, code, key, jnp.float32(EbNo_dB), int(block_bits),
+                int(batch), bool(use_pallas), jnp.int32(stop_bits),
+                jnp.int32(max_errors), done, errs, mesh)
+            key, _ = jax.random.split(key)
+            return key, bits_tot, errs_tot
+    else:
+        ndev = 1
+        def run_slice(key, stop_bits, done, errs):
+            return _point_device(
+                spec, code, key, jnp.float32(EbNo_dB), int(block_bits),
+                int(batch), bool(use_pallas), jnp.int32(stop_bits),
+                jnp.int32(max_errors), done, errs)
 
     if timeout_seconds is None:
         _, bits_done, errors = run_slice(key, max_bits, 0, 0)
     else:
         t0 = time.perf_counter()
-        slice_bits = 4 * batch * block_bits     # a few batches per slice
+        slice_bits = 4 * batch * block_bits * ndev  # a few batches/slice
         bits_done = errors = 0
         while True:
             key, bits_done, errors = run_slice(
@@ -225,11 +318,14 @@ def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
           bits_scale: float = 1.0,
           use_pallas: Optional[bool] = None,
           host_chain: bool = False,
-          timeout_seconds: Optional[float] = None) -> SweepResult:
+          timeout_seconds: Optional[float] = None,
+          mesh=None) -> SweepResult:
     """Eb/No sweep, stopping at the first zero-error point
     (run_snr_ber.cpp:318-396).  ``host_chain`` generates the channel on
     the native C++ runtime instead of on device; ``timeout_seconds``
-    bounds each point's wall clock (the -T stopping rule)."""
+    bounds each point's wall clock (the -T stopping rule); ``mesh``
+    runs every point data-parallel over the mesh's 'data' axis (see
+    :func:`measure_point`)."""
     if max_bits is None:
         max_bits = default_max_bits(code, bits_scale)
     key = jax.random.PRNGKey(seed)
@@ -247,7 +343,7 @@ def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
                               key=sub, block_bits=block_bits, batch=batch,
                               max_bits=max_bits, max_errors=max_errors,
                               use_pallas=use_pallas,
-                              timeout_seconds=timeout_seconds)
+                              timeout_seconds=timeout_seconds, mesh=mesh)
         points.append(p)
         if p.total_bit_errors == 0:
             break
