@@ -118,6 +118,14 @@ def dryrun(n_devices: int) -> None:
                            total_bits, reference_bits=jnp.asarray(ref_bits))
     assert int(errs) == 0, f"frame-DP decode had {int(errs)} bit errors"
 
+    # --- mesh-BER leg: one tiny data-parallel point (psum'd budgets) -------
+    from .. import ber
+    import jax
+    p = ber.measure_point(code, config, 4.0, key=jax.random.PRNGKey(0),
+                          block_bits=128, batch=2, max_bits=dp * 2 * 128,
+                          max_errors=10_000, mesh=mesh)
+    assert p.total_bits >= dp * 2 * 128, p
+
     # --- time-SP leg -------------------------------------------------------
     if n_devices >= 2:
         block_sp.dryrun(n_devices)
