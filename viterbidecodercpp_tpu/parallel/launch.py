@@ -234,6 +234,15 @@ def dryrun_worker(coordinator_address: str, num_processes: int,
                                  reference_bits=ref_g)
     assert int(errs) == 0, f"frame-DP: {int(errs)} bit errors"
 
+    # --- 1b. mesh-BER point across the fleet: the while-loop's psum'd
+    # stopping budgets cross the process boundary every iteration ------
+    from .. import ber
+    p = ber.measure_point(code, config, 4.0, key=jax.random.PRNGKey(0),
+                          block_bits=128, batch=2,
+                          max_bits=ndev * 2 * 128, max_errors=10**6,
+                          mesh=mesh)
+    assert p.total_bits >= ndev * 2 * 128, p
+
     # --- 2. time-SP with the stream's time axis across hosts ------------
     def run_sp(mesh_sp, data_axis_size):
         ntime = mesh_sp.shape["time"]
