@@ -61,8 +61,9 @@ def _probe_device(timeout_s):
 
 
 def _probe_with_retry(sleeps=(0, 30, 60, 120), timeout_s=90):
-    """Bounded retry/backoff: ~5 min worst case, then give up with the
-    last failure detail."""
+    """Bounded retry/backoff: ~9.5 min worst case (210 s of sleeps +
+    up to 4 x 90 s hung probes), then give up with the last failure
+    detail."""
     detail = "no attempts"
     for i, pause in enumerate(sleeps):
         if pause:

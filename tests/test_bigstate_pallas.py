@@ -374,3 +374,12 @@ def test_truncated_chainback_single_block_is_exact():
                 spec, packed, ends, total_bits, None, blk, ov))
             np.testing.assert_array_equal(exact, trunc, err_msg=(
                 f"{code.name} block={blk} overlap={ov}"))
+        # unaligned public input: T_phys not a multiple of 8 must pad,
+        # not clamp valid tail rows onto the previous slab
+        packed_u = packed[:, :total_bits + n + 1]
+        exact_u = np.asarray(bp.chainback_plane(spec, packed_u, ends,
+                                                total_bits))
+        trunc_u = np.asarray(bp.chainback_plane_truncated(
+            spec, packed_u, ends, total_bits, None, 16, 48))
+        np.testing.assert_array_equal(exact_u, trunc_u,
+                                      err_msg=f"{code.name} unaligned")

@@ -95,12 +95,15 @@ def main():
     trunc_fn = lambda e: bp.chainback_plane_truncated(
         spec, packed, e, total_bits, None, args.block, args.overlap)
 
-    # agreement check first (real survivor structure)
+    # agreement gate first (real survivor structure): at the default
+    # overlap (~9K) disagreement means a kernel regression, not noise -
+    # fail before emitting timing numbers
     be = np.asarray(exact_fn(ends))
     bt = np.asarray(trunc_fn(ends))
     agree = (be == bt).mean()
     print(f"[bench_walk] truncated/exact agreement: {agree:.6f} "
           f"({(be != bt).sum()} / {be.size} bits differ)")
+    assert agree == 1.0, "truncated walk disagrees with the exact walk"
 
     for name, fn in (("exact", exact_fn), ("truncated", trunc_fn)):
         dt = marginal(fn)

@@ -19,7 +19,7 @@ mkdir -p tpu_logs
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
 
 probe() {
-    timeout 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
 }
 
 if [ "${1:-}" = "--wait" ]; then
@@ -34,7 +34,7 @@ run() { # name timeout cmd...
     name=$1; tmo=$2; shift 2
     log="tpu_logs/${STAMP}_${name}.log"
     echo "[recovery] === $name: $* (timeout ${tmo}s)"
-    if timeout "$tmo" "$@" >"$log" 2>&1; then
+    if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
         echo "[recovery] $name OK"
     else
         echo "[recovery] $name FAILED rc=$? (see $log; continuing)"

@@ -122,12 +122,15 @@ def _point_device_dp(spec: jax_core.StaticSpec, code: CodeSpec, key,
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    ndev = int(np.prod(mesh.devices.shape))
+    bits_per_iter = ndev * batch_per_dev * block_bits
+
     def per_device(key):
         idx = jax.lax.axis_index("data")
-        key = jax.random.fold_in(key[0], idx)
+        key = key[0]                       # this device's own key
 
         def body(carry):
-            key, bits_loc, errs_loc, _, _ = carry
+            key, errs_loc, it, _ = carry
             key, k1, k2 = jax.random.split(key, 3)
             tx = jax.random.bernoulli(
                 k1, 0.5, (batch_per_dev, block_bits)).astype(jnp.uint8)
@@ -136,32 +139,39 @@ def _point_device_dp(spec: jax_core.StaticSpec, code: CodeSpec, key,
             rx = _decode_for_ber(spec, use_pallas, syms, block_bits,
                                  axis="data")
             errs_loc = errs_loc + testsig.count_bit_errors(rx, tx)
-            bits_loc = bits_loc + batch_per_dev * block_bits
-            return (key, bits_loc, errs_loc,
-                    jax.lax.psum(bits_loc, "data"),
+            # one collective per iteration: errors must psum (the global
+            # stop depends on them); the global bit count is
+            # deterministic, so it is derived, not reduced
+            return (key, errs_loc, it + 1,
                     jax.lax.psum(errs_loc, "data"))
 
         def cond(carry):
-            _, _, _, bits_tot, errs_tot = carry
+            _, _, it, errs_tot = carry
+            bits_tot = z + it * bits_per_iter
             return jnp.logical_and(bits_tot < stop_bits,
                                    errs_tot < stop_errors)
 
         z = jnp.asarray(bits_done0, jnp.int32)
         e = jnp.asarray(errors0, jnp.int32)
-        ndev = jax.lax.psum(1, "data")
-        # carried totals resume from the previous slice; locals restart
-        # at a per-device share (device 0 takes the remainder) so the
-        # psum reproduces the totals exactly
-        z_loc = z // ndev + jnp.where(idx == 0, z % ndev, 0)
+        # carried error total resumes from the previous slice; locals
+        # restart at a per-device share (device 0 takes the remainder)
+        # so the psum reproduces the total exactly
         e_loc = e // ndev + jnp.where(idx == 0, e % ndev, 0)
-        _, _, _, bits_tot, errs_tot = jax.lax.while_loop(
-            cond, body, (key, z_loc, e_loc, z, e))
-        return bits_tot[None], errs_tot[None]
+        _, _, it, errs_tot = jax.lax.while_loop(
+            cond, body, (key, e_loc, jnp.int32(0), e))
+        return (z + it * bits_per_iter)[None], errs_tot[None]
 
-    ndev = int(np.prod(mesh.devices.shape))
+    kwargs = {}
+    if use_pallas and jax.default_backend() != "tpu":
+        # interpret-mode pallas_call under shard_map: the interpreter's
+        # state discharge drops the varying-axis type on untouched refs,
+        # tripping the vma check (same workaround as frame_dp/block_sp)
+        kwargs["check_vma"] = False
     fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(P("data"),), out_specs=P("data"))
-    bits_tot, errs_tot = fn(jnp.tile(key[None], (ndev, 1)))
+                   in_specs=(P("data"),), out_specs=P("data"), **kwargs)
+    # per-device PRNG streams via split (works for both raw uint32 and
+    # new-style typed keys; fold_in on a tiled raw pair would not)
+    bits_tot, errs_tot = fn(jax.random.split(key, ndev))
     return bits_tot[0], errs_tot[0]
 
 
@@ -328,6 +338,10 @@ def sweep(code: CodeSpec, config: DecoderConfig, *, seed: int = 0,
     :func:`measure_point`)."""
     if max_bits is None:
         max_bits = default_max_bits(code, bits_scale)
+    if mesh is not None and host_chain:
+        raise ValueError("mesh (data-parallel points) and host_chain are "
+                         "mutually exclusive: the host chain generates "
+                         "the channel on this process's CPU")
     key = jax.random.PRNGKey(seed)
     points = []
     for i in range(max_points):

@@ -812,6 +812,16 @@ def chainback_plane_truncated(spec: StaticSpec, packed: jnp.ndarray,
             f"total_bits + K - 1 = {total_rows}")
     if block % WALK_SLAB or overlap % WALK_SLAB:
         raise ValueError("block and overlap must be multiples of 8")
+    if T_phys % WALK_SLAB:
+        # the slab index-map clamp is only safe when every 8-row slab
+        # exists; unaligned public inputs (decoder buffers are always
+        # padded) pay one pad copy, whose rows sit past total_rows and
+        # are therefore never walked
+        pad = WALK_SLAB - T_phys % WALK_SLAB
+        packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if rots is not None:
+            rots = jnp.pad(jnp.asarray(rots), (0, pad))
+        T_phys += pad
     interpret = jax.default_backend() != "tpu"
     G = WALK_FRAMES_PER_GROUP
     # same VMEM backoff as the exact walk: wide planes narrow the group
