@@ -507,8 +507,6 @@ def _make_walk_kernel(spec: StaticSpec, G: int, tb: int,
     n = spec.K - 1
     ROWS = spec.S // COLS
     WRr = ROWS // 32
-    P = WRr * COLS                   # flattened plane positions per row
-    mask = (1 << n) - 1
     # ``whole``: tb spans the whole array (single row block per frame
     # group, T_phys <= 32) - fully unrolled, whole-ref loads/stores, so
     # no 8-row alignment is needed and odd row counts stay on the kernel
