@@ -166,3 +166,38 @@ def test_mxu_bm_gate_rejects_custom_max_error():
     np.testing.assert_array_equal(np.asarray(em), np.asarray(pm))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(pp))
     np.testing.assert_array_equal(np.asarray(ea), np.asarray(pa))
+
+
+@pytest.mark.parametrize("name,dt", [
+    ("Voyager", DecodeType.SOFT8),
+    ("DAB Radio", DecodeType.HARD8),
+    ("CDMA IS-95A", DecodeType.SOFT8),
+])
+def test_acs_int16_metric_variant_bit_exact(name, dt):
+    """metric_dtype=int16 (the 2x-lane-density variant for the u8
+    regimes, toolchain watch PERF.md) matches the int32 kernel
+    bit-for-bit, renormalisations included."""
+    code = get_code(name)
+    config = get_decode_config(dt, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=24, batch=2, noise=2,
+                              seed=9)
+    m0 = jax_core.initial_metrics(spec, 2)
+    am, ap_, aa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    bm, bp, ba = acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                                       metric_dtype=jnp.int16)
+    assert bm.dtype == jnp.int32            # public contract unchanged
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+    np.testing.assert_array_equal(np.asarray(ap_), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(aa), np.asarray(ba))
+
+
+def test_acs_int16_rejected_for_soft16():
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    m0 = jax_core.initial_metrics(spec, 1)
+    syms = jnp.zeros((1, 8, code.R), jnp.int32)
+    with pytest.raises(ValueError, match="int16"):
+        acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                              metric_dtype=jnp.int16)

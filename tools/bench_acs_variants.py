@@ -72,6 +72,15 @@ if "--full" in sys.argv:
         ("mxu_bm", dict(mxu_bm=True, mxu_pack=False, cond_renorm=False)),
         ("all on", dict(mxu_bm=True, mxu_pack=True, cond_renorm=True)),
     ]
+if "--int16" in sys.argv:
+    # the 2x-lane-density arm (toolchain watch: Mosaic int16 elementwise
+    # 500s at last check - if these compile, record the ratio in PERF.md)
+    variants += [
+        ("pack int16", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False,
+                            metric_dtype=jnp.int16)),
+        ("base int16", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
+                            metric_dtype=jnp.int16)),
+    ]
 
 fns = []
 for name, kw in variants:

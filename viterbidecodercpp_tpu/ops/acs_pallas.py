@@ -125,7 +125,7 @@ def _pack_matrix(spec: StaticSpec) -> np.ndarray:
 def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                  mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
                  amp: Optional[int], pair_io: bool = False,
-                 lane_groups: int = 1):
+                 lane_groups: int = 1, metric_dtype=jnp.int32):
     H, S, W, R = spec.H, spec.S, spec.W, spec.R
     cap = spec.metric_max
     saturating = spec.saturating
@@ -134,6 +134,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     CW = CHUNK * W
     num_chunks = time_block // CHUNK
     NG = lane_groups
+    md = metric_dtype
 
     def kernel(*refs):
         it = iter(refs)
@@ -217,7 +218,8 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                     mins = jnp.min(nm, axis=0, keepdims=True)
                     sub = jnp.where(gate, mins, 0)
                     metrics_ref[:, gsl] = nm - sub
-                    acc_ref[:, gsl] = acc_ref[:, gsl] + sub
+                    acc_ref[:, gsl] = (acc_ref[:, gsl]
+                                       + sub.astype(jnp.int32))
 
                 @pl.when(jnp.logical_and(live, jnp.logical_not(need)))
                 def _plain():
@@ -228,7 +230,8 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                     mins = jnp.min(nm, axis=0, keepdims=True)
                     sub = jnp.where(gate, mins, 0)
                     metrics_ref[:, gsl] = nm - sub
-                    acc_ref[:, gsl] = acc_ref[:, gsl] + sub
+                    acc_ref[:, gsl] = (acc_ref[:, gsl]
+                                       + sub.astype(jnp.int32))
 
         def chunk_body(c, _):
             sym_off = pl.multiple_of(c * (CHUNK * R), CHUNK * R)
@@ -278,7 +281,8 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                         mins = jnp.min(nm, axis=0, keepdims=True)
                         sub = jnp.where(gate, mins, 0)
                         m = jnp.where(live, nm - sub, m)
-                        acc_l = sub if acc_l is None else acc_l + sub
+                        sub32 = sub.astype(jnp.int32)
+                        acc_l = sub32 if acc_l is None else acc_l + sub32
                         emit(0, dec0, dec1)
                     metrics_ref[:] = m
                     acc_ref[:] = acc_ref[:] + acc_l
@@ -315,18 +319,28 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
                        symbols: jnp.ndarray, time_block: int,
                        total_steps: int, interpret: bool,
                        mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
-                       pair_io: bool = False, lane_groups: int = 1
+                       pair_io: bool = False, lane_groups: int = 1,
+                       metric_dtype=jnp.int32
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Padded-layout kernel launch.
 
     metrics: (S, B) int32; symbols: (T_pad * R, B) int32 with
-    T_pad % time_block == 0.  Returns (metrics (S, B),
-    packed (T_pad * W, B) int32, acc (1, B)).
+    T_pad % time_block == 0.  Returns (metrics (S, B) metric_dtype,
+    packed (T_pad * W, B) int32, acc (1, B) int32).
+
+    ``metric_dtype=jnp.int16`` keeps the whole working set (metrics,
+    branch table, symbols, candidate sums) in 16-bit lanes - 2x the
+    values per vreg for the u8 decode regimes whose worst pre-clamp
+    candidate (255 + max_error) fits comfortably.  Blocked on the
+    toolchain: this Mosaic's remote compile 500s on int16 elementwise
+    ops (PERF.md); interpret mode validates the variant bit-exactly so
+    the next toolchain update is a flag-flip measurement.
     """
     S, W, R, H = spec.S, spec.W, spec.R, spec.H
     TR, B = symbols.shape
@@ -338,14 +352,19 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
     # soft_decision_max_error breaks it (ibm = max_error - bm).
     mxu_bm = (mxu_bm and amp is not None
               and spec.max_error == 2 * spec.R * amp)
+    md = jnp.dtype(metric_dtype)
+    if md != jnp.int32:
+        assert not mxu_bm, "mxu_bm requires int32 metrics"
+        metrics = metrics.astype(md)
+        symbols = symbols.astype(md)
 
     kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
-                          cond_renorm, amp, pair_io, lane_groups)
+                          cond_renorm, amp, pair_io, lane_groups, md)
 
     const_specs = []
     const_vals = []
     if not mxu_bm:
-        bt = np.asarray(spec.bt, dtype=np.int32).reshape(R * H, 1)
+        bt = np.asarray(spec.bt, dtype=md).reshape(R * H, 1)
         const_specs.append(pl.BlockSpec((R * H, 1), lambda i: (0, 0),
                                         memory_space=pltpu.VMEM))
         const_vals.append(jnp.asarray(bt))
@@ -361,7 +380,7 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
         const_vals.append(jnp.asarray(m))
 
     out_shapes = (
-        jax_core.sds_like(metrics, (S, B), jnp.int32),
+        jax_core.sds_like(metrics, (S, B), md),
         jax_core.sds_like(metrics, (T_pad * W, B), jnp.int32),
         jax_core.sds_like(metrics, (1, B), jnp.int32),
     )
@@ -420,7 +439,8 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
                *, time_block: Optional[int] = None,
                interpret: bool = None, mxu_bm: bool = False,
                mxu_pack: bool = True, cond_renorm: bool = False,
-               pair_io: bool = False, lane_groups: int = 1
+               pair_io: bool = False, lane_groups: int = 1,
+               metric_dtype=jnp.int32
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -438,6 +458,11 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     latency / scalar-gate pipeline serialisation) and stay off as
     ablation arms (mxu_bm additionally requires symbols within
     [low, high] - see module docstring).
+
+    ``metric_dtype=jnp.int16``: 16-bit in-kernel working set for the u8
+    decode regimes (metric_max <= 255) - the 2x-lane-density variant
+    awaiting a Mosaic int16 fix (toolchain watch, PERF.md).  The public
+    contract is unchanged (int32 in/out); bit-exact in interpret mode.
     """
     if jax_core.needs_big_state(spec):
         # XLA fallback for huge state counts is HBM-bound on the metric
@@ -473,9 +498,18 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     sym = jnp.pad(sym, ((0, (T_pad - T) * R), (0, B_pad - B)))
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
 
+    md = jnp.dtype(metric_dtype)
+    if md != jnp.int32:
+        if spec.metric_max > 255:
+            raise ValueError("metric_dtype=int16 is for the u8 decode "
+                             "regimes (metric_max <= 255); SOFT16 "
+                             "metrics need 32-bit lanes")
+        if mxu_bm:
+            raise ValueError("mxu_bm requires int32 metrics")
+
     m_out, packed, acc = _acs_pallas_padded(
         spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),
-        bool(mxu_pack), bool(cond_renorm), bool(pair_io), NG)
+        bool(mxu_pack), bool(cond_renorm), bool(pair_io), NG, md)
 
     packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
-    return m_out[:, :B], packed, acc[0, :B]
+    return m_out.astype(jnp.int32)[:, :B], packed, acc[0, :B]
