@@ -383,3 +383,38 @@ def test_truncated_chainback_single_block_is_exact():
             spec, packed_u, ends, total_bits, None, 16, 48))
         np.testing.assert_array_equal(exact_u, trunc_u,
                                       err_msg=f"{code.name} unaligned")
+
+
+@pytest.mark.parametrize("dt", [DecodeType.SOFT8, DecodeType.HARD8])
+def test_plane_int16_metric_variant_bit_exact(dt):
+    """metric_dtype=int16 on the plane kernel (2x-lane-density variant
+    for u8 regimes, toolchain watch PERF.md) matches the int32 kernel
+    bit-for-bit, including renorms and both fast_bm settings."""
+    config = get_decode_config(dt, CODE.R)
+    spec = jax_core.make_static_spec(CODE, config)
+    rng = np.random.RandomState(17)
+    B, T = 3, 2 * (CODE.K - 1) + 5
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, CODE.R)), jnp.int32)
+    m0 = jax_core.initial_metrics(spec, B)
+    for fb in (True, False):
+        am, ap_, aa = bp.acs_plane_pallas(spec, m0, syms,
+                                          frames_per_group=2,
+                                          chunks_per_block=2, fast_bm=fb)
+        bm16, bp16, ba16 = bp.acs_plane_pallas(
+            spec, m0, syms, frames_per_group=2, chunks_per_block=2,
+            fast_bm=fb, metric_dtype=jnp.int16)
+        assert bm16.dtype == jnp.int32       # public contract unchanged
+        np.testing.assert_array_equal(np.asarray(am), np.asarray(bm16))
+        np.testing.assert_array_equal(np.asarray(ap_), np.asarray(bp16))
+        np.testing.assert_array_equal(np.asarray(aa), np.asarray(ba16))
+
+
+def test_plane_int16_rejected_for_soft16():
+    config = get_decode_config(DecodeType.SOFT16, CODE.R)
+    spec = jax_core.make_static_spec(CODE, config)
+    m0 = jax_core.initial_metrics(spec, 1)
+    syms = jnp.zeros((1, CODE.K - 1, CODE.R), jnp.int32)
+    with pytest.raises(ValueError, match="int16"):
+        bp.acs_plane_pallas(spec, m0, syms, metric_dtype=jnp.int16)

@@ -118,7 +118,7 @@ def time_block_rows(spec: StaticSpec) -> int:
 
 def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                  fast_bm: bool, amp: Optional[int], interpret: bool,
-                 phase0: int = 0):
+                 phase0: int = 0, metric_dtype=jnp.int32):
     n = spec.K - 1
     ROWS = spec.S // COLS
     WRr = ROWS // 32
@@ -128,6 +128,7 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
     saturating = spec.saturating
     thr = spec.renorm_threshold
     max_error = spec.max_error
+    md = metric_dtype
 
     def roll(x, shift, axis):
         shift %= x.shape[axis]
@@ -170,18 +171,23 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                     cv = roll(m, dist, axis)              # value at p - d
                     partner = jnp.where(maskj, cv, bv)
                     sidx = (c * n + idx) * R
+                    # symbols are SMEM int32 scalars; cast to the metric
+                    # dtype so the bm planes (and everything downstream)
+                    # stay in 16-bit lanes under metric_dtype=int16
+                    def s(i):
+                        v = sym_ref[0, 0, i, g]
+                        return v if md == jnp.int32 else v.astype(md)
                     if fast_bm:
                         # bt = +-A and symbols in [-A, A]:
                         # bm = R*A - sum_r sign_r * sym_r (exact in range)
-                        d = bt_ref[phi, 0] * sym_ref[0, 0, sidx, g]
+                        d = bt_ref[phi, 0] * s(sidx)
                         for r in range(1, R):
-                            d = d + bt_ref[phi, r] * sym_ref[0, 0, sidx + r, g]
+                            d = d + bt_ref[phi, r] * s(sidx + r)
                         bm = R * amp - d
                     else:
-                        bm = jnp.abs(bt_ref[phi, 0] - sym_ref[0, 0, sidx, g])
+                        bm = jnp.abs(bt_ref[phi, 0] - s(sidx))
                         for r in range(1, R):
-                            bm = bm + jnp.abs(bt_ref[phi, r] -
-                                              sym_ref[0, 0, sidx + r, g])
+                            bm = bm + jnp.abs(bt_ref[phi, r] - s(sidx + r))
                     # Two-candidate butterfly: position p only needs
                     # e_self = m[p] + bm and e_part = m[partner] + ibm.
                     # At a lo slot these are (e00, e10); at a hi slot
@@ -230,7 +236,8 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                         live)
                     sub_row = jnp.where(gate_row, mrow, 0)       # (1, COLS)
                     m_ref[0, g] = jnp.where(live, nm - sub_row, m)
-                    acc_ref[0, g:g + 1, :] = acc_ref[0, g:g + 1, :] + sub_row
+                    acc_ref[0, g:g + 1, :] = (acc_ref[0, g:g + 1, :]
+                                              + sub_row.astype(jnp.int32))
                     words[g].append(
                         (dbit.reshape(WRr, 32, COLS) << shifts).sum(axis=1))
             for g in range(G):
@@ -246,10 +253,11 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
                       G: int, chunks: int, T: int, fast_bm: bool,
-                      interpret: bool, phase0: int):
+                      interpret: bool, phase0: int,
+                      metric_dtype=jnp.int32):
     """Padded launch.  init: (F, G, ROWS, COLS) i32 plane metrics;
     sym: (F, NTB, TB*R, G) i32.  Returns (m (F, G, ROWS, COLS),
     packed (F, G, NTB*chunks, (K-1)*WRr, COLS) - chunk-major slabs, a
@@ -263,9 +271,13 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
     if fast_bm and amp is None:
         fast_bm = False
     btp = _phase_bt_planes(spec, signs=fast_bm)
+    md = jnp.dtype(metric_dtype)
+    if md != jnp.int32:
+        btp = btp.astype(md)
+        init = init.astype(md)
 
     kernel = _make_kernel(spec, G, chunks, T, fast_bm, amp, interpret,
-                          phase0)
+                          phase0, md)
     grid_spec = pl.GridSpec(
         grid=(F, NTB),
         in_specs=[
@@ -287,7 +299,7 @@ def _acs_plane_padded(spec: StaticSpec, init: jnp.ndarray, sym: jnp.ndarray,
         ),
     )
     out_shapes = (
-        jax_core.sds_like(init, (F, G, ROWS, COLS), jnp.int32),
+        jax_core.sds_like(init, (F, G, ROWS, COLS), md),
         jax_core.sds_like(init, (F, G, NTB * chunks, n * WRr, COLS),
                           jnp.int32),
         jax_core.sds_like(init, (F, G, COLS), jnp.int32),
@@ -313,7 +325,8 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
                      chunks_per_block: int = DEFAULT_CHUNKS_PER_BLOCK,
                      fast_bm: Optional[bool] = None,
                      interpret: Optional[bool] = None,
-                     phase0: int = 0, keep_padding: bool = False
+                     phase0: int = 0, keep_padding: bool = False,
+                     metric_dtype=jnp.int32
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Big-state ACS: metrics (S, B) i32, symbols (B, T, R) i32 ->
     (metrics (S, B) logical order, packed (B, T, WRr, COLS) slot-order
@@ -340,6 +353,12 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     (helpers/test_helpers.h:88-93), so results are bit-exact for every
     in-contract input.  Pass False for the unconditional |bt - sym|
     path (exact for arbitrary out-of-range symbols, ~25% slower).
+
+    ``metric_dtype=jnp.int16``: 16-bit metric/branch planes for the u8
+    decode regimes (metric_max <= 255) - 2x values per vreg on the
+    issue-bound plane butterflies.  Public contract unchanged (int32
+    in/out); bit-exact in interpret mode; the compiled arm waits on a
+    Mosaic int16 fix (toolchain watch, PERF.md).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -376,15 +395,20 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
         init = jnp.take(init, perm_in, axis=1)
     init = init.reshape(F, G, ROWS, COLS)
 
+    md = jnp.dtype(metric_dtype)
+    if md != jnp.int32 and spec.metric_max > 255:
+        raise ValueError("metric_dtype=int16 is for the u8 decode "
+                         "regimes (metric_max <= 255); SOFT16 metrics "
+                         "need 32-bit lanes")
     m, packed, acc = _acs_plane_padded(spec, init, sym, G,
                                        chunks_per_block, T,
                                        bool(fast_bm), bool(interpret),
-                                       phase0)
+                                       phase0, md)
 
     # back to logical state order: logical[s] = plane[rotr(s, age)]
     perm = jnp.asarray(_rotr(np.arange(spec.S), (phase0 + T) % n, n))
     m_flat = m.reshape(B_pad, spec.S)[:B]
-    m_logical = jnp.take(m_flat, perm, axis=1).T
+    m_logical = jnp.take(m_flat, perm, axis=1).T.astype(jnp.int32)
     packed = packed.reshape(B_pad, T_pad, WRr, COLS)
     if keep_padding:
         # skip the [:T] row slice - it materialises a copy of the whole
