@@ -12,7 +12,11 @@ late; we override through jax.config before any backend initialises.
 
 import os
 
-if not os.environ.get("VITERBI_TEST_TPU"):
+# VITERBI_PLATFORM overrides everything (e.g. VITERBI_TEST_TPU=1
+# VITERBI_PLATFORM=cpu runs the statistical gates on the host instead
+# of hanging on an unreachable accelerator).
+_plat = os.environ.get("VITERBI_PLATFORM")
+if _plat or not os.environ.get("VITERBI_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -20,4 +24,4 @@ if not os.environ.get("VITERBI_TEST_TPU"):
         ).strip()
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", _plat or "cpu")
