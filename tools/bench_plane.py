@@ -40,14 +40,15 @@ def spec_for(mode: str):
     return jax_core.make_static_spec(code, config), config
 
 
-def make_run(spec, G, C, fast_bm):
+def make_run(spec, G, C, fast_bm, metric_dtype=jnp.int32):
     @jax.jit
     def run(m, syms, reps):
         def body(i, carry):
             m, sink = carry
             m2, packed, acc = bp.acs_plane_pallas(
                 spec, m, syms, frames_per_group=G, chunks_per_block=C,
-                fast_bm=fast_bm, interpret=False)
+                fast_bm=fast_bm, interpret=False,
+                metric_dtype=metric_dtype)
             return m2, sink + acc.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, reps, body,
                                  (m, jnp.zeros((), jnp.int32)))
@@ -131,7 +132,7 @@ def sweep_xla(mode: str, B: int, T: int):
           flush=True)
 
 
-def sweep(mode: str, B: int, T: int, variants):
+def sweep(mode: str, B: int, T: int, variants, metric_dtype=jnp.int32):
     spec, config = spec_for(mode)
     rng = np.random.RandomState(0)
     syms = jnp.asarray(rng.randint(config.soft_decision_low,
@@ -139,7 +140,7 @@ def sweep(mode: str, B: int, T: int, variants):
                                    (B, T, code.R)), jnp.int32)
     m0 = jax_core.initial_metrics(spec, B)
     for G, C, fb in variants:
-        f = make_run(spec, G, C, fb)
+        f = make_run(spec, G, C, fb, metric_dtype)
         t0 = time.perf_counter()
         dt = marginal(f, m0, syms)
         rate = B * T * code.R / dt
@@ -158,8 +159,12 @@ if __name__ == "__main__":
     ap.add_argument("--variants", default="16,2,1;8,2,1")
     ap.add_argument("--xla", action="store_true",
                     help="time the XLA fallback instead of the kernel")
+    ap.add_argument("--int16", action="store_true",
+                    help="16-bit metric planes (u8 modes only; the "
+                         "toolchain-watch 2x-lane-density arm)")
     args = ap.parse_args()
     code = CODES[args.code]()
+    md = jnp.int16 if args.int16 else jnp.int32
     if args.check:
         check(args.mode)
     elif args.xla:
@@ -169,4 +174,4 @@ if __name__ == "__main__":
         for v in args.variants.split(";"):
             g, c, fb = v.split(",")
             variants.append((int(g), int(c), bool(int(fb))))
-        sweep(args.mode, args.batch, args.steps, variants)
+        sweep(args.mode, args.batch, args.steps, variants, md)
