@@ -18,7 +18,11 @@ These tests are statistical (independent RNG streams), so they assert
 agreement within Poisson counting error over a 1.3x ratio window, with
 budgets sized for >=300 expected errors per point on our side.  They
 need a real accelerator to finish in reasonable time
-(VITERBI_TEST_TPU=1).
+(VITERBI_TEST_TPU=1); the non-Cassini gates also finish on the host
+(VITERBI_TEST_TPU=1 VITERBI_PLATFORM=cpu: 21 passed in ~80 s,
+validated 2026-08-17 against the freshly generated 8-code ground
+truth).  The Cassini gates stay TPU-only (plane-kernel interpret mode
+is too slow on CPU).
 """
 
 import json
