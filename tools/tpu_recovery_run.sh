@@ -50,6 +50,11 @@ run plane_sweep 2400 python tools/bench_plane.py
 run k9_check    1800 python tools/ablate_k9_rotated.py --check
 run k9_soft8    2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A"
 run k9_e2e      2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A" --e2e
+# toolchain watch: do int16 elementwise kernels compile on this Mosaic
+# yet?  (expected to fail with remote-compile 500 until the fix lands;
+# a PASS here is the 2x-lane-density headline lever - PERF.md)
+run int16_small 1800 python tools/bench_acs_variants.py --int16
+run int16_plane 1800 python tools/bench_plane.py --mode SOFT8 --int16 --variants "16,2,1"
 run benchmark   5400 python tools/run_benchmark.py -o data_benchmark_tpu.json
 
 echo "[recovery] done; logs in tpu_logs/${STAMP}_*.log"
