@@ -126,6 +126,11 @@ def main():
         run_case(args.seed + n, args.v)
         n += 1
         if n % 10 == 0:
+            # every case compiles fresh programs (unique K/R/G); drop
+            # them or the in-process LLVM JIT eventually fails with
+            # 'Cannot allocate memory' (observed after ~80 cases)
+            import jax
+            jax.clear_caches()
             print(f"[fuzz] {n} cases clean "
                   f"({(time.time() - t0) / 60:.1f} min)", flush=True)
     print(f"[fuzz] DONE: {n} cases, 0 mismatches")
