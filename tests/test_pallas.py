@@ -201,3 +201,36 @@ def test_acs_int16_rejected_for_soft16():
     with pytest.raises(ValueError, match="int16"):
         acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
                               metric_dtype=jnp.int16)
+
+
+def test_acs_int16_rejected_on_overflow_risk():
+    """metric_max <= 255 alone is not enough: a custom 8-bit config with
+    a wide soft range would wrap int16 symbol casts and candidate sums,
+    so the gate also bounds the symbol range and worst branch metric."""
+    from viterbidecodercpp_tpu import DecoderConfig
+    code = get_code("Voyager")
+    config = DecoderConfig(
+        soft_decision_high=16000, soft_decision_low=-16000,
+        soft_decision_max_error=64000, initial_start_error=0,
+        initial_non_start_error=255, renormalisation_threshold=128,
+        metric_bits=8)
+    spec = jax_core.make_static_spec(code, config)
+    m0 = jax_core.initial_metrics(spec, 1)
+    syms = jnp.zeros((1, 8, code.R), jnp.int32)
+    with pytest.raises(ValueError, match="overflow"):
+        acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                              metric_dtype=jnp.int16)
+
+
+def test_acs_int16_rejected_on_big_state_fallback():
+    """K=15 routes acs_pallas to the XLA fallback, which has no narrow-
+    lane variant; requesting one must raise, not silently run int32
+    (acs_plane_pallas is the big-state int16 path)."""
+    code = get_code("Cassini")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    m0 = jax_core.initial_metrics(spec, 1)
+    syms = jnp.zeros((1, code.K - 1, code.R), jnp.int32)
+    with pytest.raises(ValueError, match="big-state"):
+        acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                              metric_dtype=jnp.int16)

@@ -72,7 +72,7 @@ def marginal(f, m0, syms, n1=2, n2=8, trials=5):
     return float(np.median(vals))
 
 
-def check(mode: str):
+def check(mode: str, metric_dtype=jnp.int32):
     spec, config = spec_for(mode)
     rng = np.random.RandomState(0)
     B, T = 5, 61
@@ -86,7 +86,8 @@ def check(mode: str):
     for G, C, fb in ((1, 2, False), (4, 4, False), (2, 2, True)):
         m, p, a = bp.acs_plane_pallas(spec, m0, syms, frames_per_group=G,
                                       chunks_per_block=C, fast_bm=fb,
-                                      interpret=False)
+                                      interpret=False,
+                                      metric_dtype=metric_dtype)
         bits = bp.chainback_plane(spec, p, jnp.zeros(B, jnp.int32),
                                   T - (code.K - 1))
         ok_m = np.array_equal(np.asarray(m), np.asarray(mx))
@@ -166,8 +167,11 @@ if __name__ == "__main__":
     code = CODES[args.code]()
     md = jnp.int16 if args.int16 else jnp.int32
     if args.check:
-        check(args.mode)
+        check(args.mode, md)      # --int16: compiled-Mosaic exactness probe
     elif args.xla:
+        if args.int16:
+            raise SystemExit("--int16 is a kernel variant; the XLA "
+                             "fallback has no int16 arm")
         sweep_xla(args.mode, args.batch, args.steps)
     else:
         variants = []

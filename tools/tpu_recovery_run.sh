@@ -56,10 +56,12 @@ run k9_e2e      2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA
 run int16_small 1800 python tools/bench_acs_variants.py --int16
 run int16_plane 1800 python tools/bench_plane.py --mode SOFT8 --int16 --variants "16,2,1"
 run benchmark   5400 python tools/run_benchmark.py -o data_benchmark_tpu.json
-# regenerate the committed BER artifact at HEAD (VERDICT r2 weak item 6:
-# the 24-record curve set predates the round-2/3 kernels).  -T bounds
-# each Eb/No point; sweeps stop early at the first zero-error point.
-run snr_ber     10800 python tools/run_snr_ber.py -T 8 -o data_snr_ber_tpu.json
+# re-measure the BER curve set at HEAD (VERDICT r2 weak item 6: the
+# committed 24-record artifact predates the round-2/3 kernels).  Default
+# budgets = the committed artifact's provenance; staged to tpu_logs so
+# the operator compares sizing before replacing data_snr_ber_tpu.json
+# (merge with tools/merge_ber_data.py; keep PARITY.md H14 in step).
+run snr_ber     10800 python tools/run_snr_ber.py -o "tpu_logs/${STAMP}_snr_ber_head.json"
 
 echo "[recovery] done; logs in tpu_logs/${STAMP}_*.log"
 echo "[recovery] next: review logs, update PERF.md rows, commit artifacts"

@@ -134,7 +134,6 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     CW = CHUNK * W
     num_chunks = time_block // CHUNK
     NG = lane_groups
-    md = metric_dtype
 
     def kernel(*refs):
         it = iter(refs)
@@ -464,6 +463,15 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     awaiting a Mosaic int16 fix (toolchain watch, PERF.md).  The public
     contract is unchanged (int32 in/out); bit-exact in interpret mode.
     """
+    md = jnp.dtype(metric_dtype)
+    if md != jnp.int32:
+        jax_core.validate_narrow_metric_dtype(spec, md)
+        if jax_core.needs_big_state(spec):
+            raise ValueError("metric_dtype is int32-only on the big-state "
+                             "XLA fallback; use acs_plane_pallas for "
+                             "narrow-lane big-state metrics")
+        if mxu_bm:
+            raise ValueError("mxu_bm requires int32 metrics")
     if jax_core.needs_big_state(spec):
         # XLA fallback for huge state counts is HBM-bound on the metric
         # tensor; fused steps + compact (u8/u16) metric storage cut the
@@ -497,15 +505,6 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     sym = jnp.transpose(symbols.astype(jnp.int32), (1, 2, 0)).reshape(T * R, B)
     sym = jnp.pad(sym, ((0, (T_pad - T) * R), (0, B_pad - B)))
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
-
-    md = jnp.dtype(metric_dtype)
-    if md != jnp.int32:
-        if spec.metric_max > 255:
-            raise ValueError("metric_dtype=int16 is for the u8 decode "
-                             "regimes (metric_max <= 255); SOFT16 "
-                             "metrics need 32-bit lanes")
-        if mxu_bm:
-            raise ValueError("mxu_bm requires int32 metrics")
 
     m_out, packed, acc = _acs_pallas_padded(
         spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),

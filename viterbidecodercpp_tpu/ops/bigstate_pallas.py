@@ -396,10 +396,8 @@ def acs_plane_pallas(spec: StaticSpec, metrics: jnp.ndarray,
     init = init.reshape(F, G, ROWS, COLS)
 
     md = jnp.dtype(metric_dtype)
-    if md != jnp.int32 and spec.metric_max > 255:
-        raise ValueError("metric_dtype=int16 is for the u8 decode "
-                         "regimes (metric_max <= 255); SOFT16 metrics "
-                         "need 32-bit lanes")
+    if md != jnp.int32:
+        jax_core.validate_narrow_metric_dtype(spec, md)
     m, packed, acc = _acs_plane_padded(spec, init, sym, G,
                                        chunks_per_block, T,
                                        bool(fast_bm), bool(interpret),

@@ -81,6 +81,31 @@ def needs_big_state(spec: "StaticSpec") -> bool:
     return spec.S > MAX_LANE_STATES
 
 
+def validate_narrow_metric_dtype(spec: "StaticSpec", md) -> None:
+    """Gate for narrow in-kernel metric lanes (the ``metric_dtype=int16``
+    variants of acs_pallas / acs_plane_pallas).
+
+    The narrow working set is an internal optimisation and must be
+    loss-free: metrics live in [0, metric_max], clamped symbols in
+    [soft_low, soft_high], branch metrics reach
+    max(max_error, R*(high-low)), and the pre-clamp candidate sums reach
+    metric_max + that - all of it has to fit the narrow lanes, not just
+    metric_max."""
+    md = np.dtype(md)
+    lim = int(np.iinfo(md).max)
+    if spec.metric_max > 255:
+        raise ValueError(f"metric_dtype={md.name} is for the u8 decode "
+                         "regimes (metric_max <= 255); SOFT16 metrics "
+                         "need 32-bit lanes")
+    worst_bm = max(spec.max_error, spec.R * (spec.soft_high - spec.soft_low))
+    if (spec.metric_max + worst_bm > lim
+            or max(abs(spec.soft_low), abs(spec.soft_high)) > lim):
+        raise ValueError(
+            f"metric_dtype={md.name} would overflow: worst in-kernel "
+            f"candidate {spec.metric_max + worst_bm} / symbol range "
+            f"[{spec.soft_low}, {spec.soft_high}] exceeds {lim}")
+
+
 class StaticSpec(NamedTuple):
     """Trace-time constants derived from (code, config).
 
