@@ -101,6 +101,57 @@ def run_case(case_seed: int, verbose: bool = False) -> str:
             if 48 >= total_bits + K - 1 - 8:
                 if not np.array_equal(trunc, want_bits):
                     raise AssertionError(f"MISMATCH trunc {desc}")
+        if big and rng.rand() < 0.5:
+            # traced arm: the same decode with updates under one jit at a
+            # random cut - random entry phases exercise the row_rots
+            # carry (decoder.py traced plane updates) beyond the fixed
+            # K=15 test's single geometry.
+            import jax
+
+            cutb = int(rng.randint(1, T))
+
+            @jax.jit
+            def pipeline(st, a, b):
+                return dec.update(dec.update(st, a), b)
+
+            jsyms = jnp.asarray(syms)
+            st2 = pipeline(dec.reset(B), jsyms[:, :cutb * R],
+                           jsyms[:, cutb * R:])
+            got2 = np.asarray(dec.chainback(st2, total_bits))
+            if not np.array_equal(got2, want_bits):
+                raise AssertionError(
+                    f"MISMATCH traced [{backend}] {desc} cut={cutb}")
+            if not np.array_equal(np.asarray(dec.get_error(st2)),
+                                  np.asarray(want_err)):
+                raise AssertionError(
+                    f"MISMATCH traced error [{backend}] {desc} cut={cutb}")
+    if not big and rng.rand() < 0.3:
+        # puncture arm: a random periodic pattern at a random phase is
+        # applied and undone (depuncture re-inflates with the neutral
+        # midpoint, helpers/puncture_code_helpers.h:31-50); both
+        # backends must match the oracle on the re-inflated stream.
+        from viterbidecodercpp_tpu.codes import PunctureSpec
+        from viterbidecodercpp_tpu.ops import encoder as enc_ops
+        from viterbidecodercpp_tpu.puncture import puncture_np
+
+        p = int(rng.randint(2, 9))
+        pattern = rng.rand(p) < 0.7
+        pattern[rng.randint(p)] = True
+        phase = int(rng.randint(p))
+        mask = PunctureSpec("fuzz-pi", tuple(pattern)).mask(T * R, phase)
+        dep = np.asarray(enc_ops.depuncture(
+            jnp.asarray(puncture_np(syms, mask)), mask, 0))
+        dwant = np.stack([
+            ref.viterbi_decode(code, config, dep[b], total_bits)[0]
+            for b in range(B)])
+        pdesc = f"{desc} pi={''.join('1' if x else '0' for x in pattern)}@{phase}"
+        for backend in ("xla", "pallas"):
+            dec = ViterbiDecoder(code, config, backend=backend,
+                                 traceback_length=total_bits)
+            st = dec.update(dec.reset(B), dep)
+            got = np.asarray(dec.chainback(st, total_bits))
+            if not np.array_equal(got, dwant):
+                raise AssertionError(f"MISMATCH puncture [{backend}] {pdesc}")
     if verbose:
         print("ok", desc, flush=True)
     return desc
