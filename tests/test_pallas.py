@@ -192,6 +192,49 @@ def test_acs_int16_metric_variant_bit_exact(name, dt):
     np.testing.assert_array_equal(np.asarray(aa), np.asarray(ba))
 
 
+@pytest.mark.parametrize("name,dt,arith", [
+    ("Voyager", DecodeType.SOFT16, "saturating"),
+    ("Voyager", DecodeType.SOFT8, "wrapping"),
+    ("DAB Radio", DecodeType.HARD8, "saturating"),
+    ("CDMA IS-95A", DecodeType.SOFT8, "saturating"),
+])
+def test_acs_fast_bm_bit_exact(name, dt, arith):
+    """fast_bm (VPU-elementwise signed-correlation branch metrics,
+    |bt - sym| == A - sign(bt)*sym on the symmetric regimes) matches the
+    abs-diff kernel bit-for-bit, renormalisations included."""
+    code = get_code(name)
+    config = get_decode_config(dt, code.R, arith=arith)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=24, batch=2, noise=2,
+                              seed=11)
+    m0 = jax_core.initial_metrics(spec, 2)
+    am, ap_, aa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    bm, bp, ba = acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                                       fast_bm=True)
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+    np.testing.assert_array_equal(np.asarray(ap_), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(aa), np.asarray(ba))
+
+
+def test_acs_fast_bm_falls_back_on_custom_max_error():
+    """A custom soft_decision_max_error breaks the ibm = max_error - bm
+    identity; fast_bm must silently fall back to abs-diff (same contract
+    as mxu_bm) and still produce the exact abs-diff semantics."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    config = config.replace(soft_decision_max_error=
+                            config.soft_decision_max_error + 1)
+    spec = jax_core.make_static_spec(code, config)
+    data, syms = make_symbols(code, config, nbytes=8, batch=1, noise=2)
+    m0 = jax_core.initial_metrics(spec, 1)
+    am, ap_, aa = acs_pallas.acs_pallas(spec, m0, syms, interpret=True)
+    bm, bp, ba = acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
+                                       fast_bm=True)
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+    np.testing.assert_array_equal(np.asarray(ap_), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(aa), np.asarray(ba))
+
+
 def test_acs_int16_rejected_for_soft16():
     code = get_code("Voyager")
     config = get_decode_config(DecodeType.SOFT16, code.R)

@@ -65,6 +65,13 @@ variants = [
                           pair_io=True)),
     ("base pair_io", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
                           pair_io=True)),
+    # VPU-elementwise signed-correlation branch metrics (~R+1 fewer
+    # vreg-ops/step than abs-diff, no MXU round-trip)
+    ("pack fast_bm", dict(mxu_bm=False, mxu_pack=True, cond_renorm=False,
+                          fast_bm=True)),
+    ("pack fast_bm tb256", dict(mxu_bm=False, mxu_pack=True,
+                                cond_renorm=False, fast_bm=True,
+                                time_block=256)),
 ]
 if "--full" in sys.argv:
     variants += [
@@ -80,6 +87,9 @@ if "--int16" in sys.argv:
                             metric_dtype=jnp.int16)),
         ("base int16", dict(mxu_bm=False, mxu_pack=False, cond_renorm=False,
                             metric_dtype=jnp.int16)),
+        ("pack int16 fast_bm", dict(mxu_bm=False, mxu_pack=True,
+                                    cond_renorm=False, fast_bm=True,
+                                    metric_dtype=jnp.int16)),
     ]
 
 fns = []

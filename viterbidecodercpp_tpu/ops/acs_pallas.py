@@ -125,7 +125,8 @@ def _pack_matrix(spec: StaticSpec) -> np.ndarray:
 def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                  mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
                  amp: Optional[int], pair_io: bool = False,
-                 lane_groups: int = 1, metric_dtype=jnp.int32):
+                 lane_groups: int = 1, metric_dtype=jnp.int32,
+                 fast_bm: bool = False):
     H, S, W, R = spec.H, spec.S, spec.W, spec.R
     cap = spec.metric_max
     saturating = spec.saturating
@@ -155,13 +156,29 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
 
         if not mxu_bm:
             bt_rows = [bt_ref[i * H:(i + 1) * H, :] for i in range(R)]
+        if fast_bm:
+            # Constant per-tap sign planes (bt values are {-A, +A} for
+            # every symmetric regime), materialised once per block.
+            sgn_rows = [jnp.where(r > 0, 1, -1).astype(r.dtype)
+                        for r in bt_rows]
 
         def acs_core(metrics, bm_arg):
             """One trellis step: (S,B) metrics -> (new (S,B), dec0, dec1)."""
             lo = metrics[0:H, :]
             hi = metrics[H:S, :]
-            if mxu_bm:
-                d = bm_arg                      # (H, B) signed correlation
+            if mxu_bm or fast_bm:
+                if mxu_bm:
+                    d = bm_arg                  # (H, B) signed correlation
+                else:
+                    # VPU-elementwise signed correlation: |bt - sym| ==
+                    # A - sign(bt)*sym for in-range symbols, so the
+                    # per-tap abs-diff collapses to a constant-sign
+                    # multiply-accumulate (the small-kernel analogue of
+                    # the plane kernel's fast_bm).
+                    rows = bm_arg
+                    d = sgn_rows[0] * rows[0]
+                    for i in range(1, R):
+                        d = d + sgn_rows[i] * rows[i]
                 u = lo + RA                     # lo + bm = u - d
                 v = hi + RA                     # hi + ibm = v + d
                 e00 = u - d
@@ -319,13 +336,13 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+                   static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
                        symbols: jnp.ndarray, time_block: int,
                        total_steps: int, interpret: bool,
                        mxu_bm: bool, mxu_pack: bool, cond_renorm: bool,
                        pair_io: bool = False, lane_groups: int = 1,
-                       metric_dtype=jnp.int32
+                       metric_dtype=jnp.int32, fast_bm: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Padded-layout kernel launch.
 
@@ -345,12 +362,13 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
     TR, B = symbols.shape
     T_pad = TR // R
     num_blocks = T_pad // time_block
-    amp = _symmetric_amplitude(spec) if mxu_bm else None
-    # The matmul identity bm = R*amp - d additionally needs the config's
+    amp = _symmetric_amplitude(spec) if (mxu_bm or fast_bm) else None
+    # The identity bm = R*amp - d additionally needs the config's
     # max_error to equal the table-derived (high - low) * R; a custom
     # soft_decision_max_error breaks it (ibm = max_error - bm).
-    mxu_bm = (mxu_bm and amp is not None
-              and spec.max_error == 2 * spec.R * amp)
+    ident_ok = amp is not None and spec.max_error == 2 * spec.R * amp
+    mxu_bm = mxu_bm and ident_ok
+    fast_bm = fast_bm and ident_ok and not mxu_bm
     md = jnp.dtype(metric_dtype)
     if md != jnp.int32:
         assert not mxu_bm, "mxu_bm requires int32 metrics"
@@ -358,7 +376,8 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
         symbols = symbols.astype(md)
 
     kernel = _make_kernel(spec, time_block, total_steps, mxu_bm, mxu_pack,
-                          cond_renorm, amp, pair_io, lane_groups, md)
+                          cond_renorm, amp, pair_io, lane_groups, md,
+                          fast_bm)
 
     const_specs = []
     const_vals = []
@@ -439,7 +458,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
                interpret: bool = None, mxu_bm: bool = False,
                mxu_pack: bool = True, cond_renorm: bool = False,
                pair_io: bool = False, lane_groups: int = 1,
-               metric_dtype=jnp.int32
+               metric_dtype=jnp.int32, fast_bm: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -462,6 +481,14 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     decode regimes (metric_max <= 255) - the 2x-lane-density variant
     awaiting a Mosaic int16 fix (toolchain watch, PERF.md).  The public
     contract is unchanged (int32 in/out); bit-exact in interpret mode.
+
+    ``fast_bm``: VPU-elementwise signed-correlation branch metrics
+    (|bt - sym| == A - sign(bt)*sym on the symmetric regimes) - the
+    small-kernel analogue of the plane kernel's fast_bm, saving ~R+1
+    vreg-ops per trellis step without the MXU round-trip that made
+    mxu_bm neutral.  Same in-range-symbols contract as mxu_bm; silently
+    falls back to abs-diff when the regime is asymmetric or max_error
+    is custom.
     """
     md = jnp.dtype(metric_dtype)
     if md != jnp.int32:
@@ -508,7 +535,8 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
 
     m_out, packed, acc = _acs_pallas_padded(
         spec, m, sym, time_block, T, bool(interpret), bool(mxu_bm),
-        bool(mxu_pack), bool(cond_renorm), bool(pair_io), NG, md)
+        bool(mxu_pack), bool(cond_renorm), bool(pair_io), NG, md,
+        bool(fast_bm))
 
     packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
     return m_out.astype(jnp.int32)[:, :B], packed, acc[0, :B]
