@@ -32,6 +32,12 @@ def test_frame_dp_exact_and_psum():
         reference_bits=jnp.asarray(ref_bits))
     assert int(errs) == 0
     np.testing.assert_array_equal(np.asarray(bits), ref_bits)
+    # without a reference the error count is the documented 0 (it used
+    # to be the popcount of the decoded bits)
+    bits2, errs2 = frame_dp.decode_dp(
+        spec, mesh, jnp.asarray(syms.reshape(B, T, code.R)), total_bits)
+    assert int(errs2) == 0
+    np.testing.assert_array_equal(np.asarray(bits2), ref_bits)
 
 
 @needs_mesh

@@ -234,9 +234,17 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
         # scan internally for state counts beyond the Pallas bound.
         use_pallas = jax.default_backend() == "tpu"
 
-    if mesh is not None:
-        ndev = int(np.prod(mesh.devices.shape))
+    # The device counters are int32; keep the stop thresholds far enough
+    # from INT32_MAX that one more iteration's increment cannot wrap the
+    # carry (a wrapped bits_done goes negative and the while_loop runs
+    # ~4000x past its budget).  The reference's own budget formula
+    # (run_snr_ber.cpp:225-232) tops out well under this cap.
+    ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    cap = (1 << 31) - 1 - batch * block_bits * ndev
+    max_bits = min(int(max_bits), cap)
+    max_errors = min(int(max_errors), cap)
 
+    if mesh is not None:
         def run_slice(key, stop_bits, done, errs):
             bits_tot, errs_tot = _point_device_dp(
                 spec, code, key, jnp.float32(EbNo_dB), int(block_bits),
@@ -245,7 +253,6 @@ def measure_point(code: CodeSpec, config: DecoderConfig, EbNo_dB: float, *,
             key, _ = jax.random.split(key)
             return key, bits_tot, errs_tot
     else:
-        ndev = 1
         def run_slice(key, stop_bits, done, errs):
             return _point_device(
                 spec, code, key, jnp.float32(EbNo_dB), int(block_bits),

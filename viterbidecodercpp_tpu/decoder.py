@@ -405,6 +405,14 @@ class ViterbiDecoder:
         backend runs the plane kernel (ops/bigstate_pallas.py, ~3.5x the
         XLA path); the xla backend uses the rotated-layout scan
         (ops/bigstate.py).  Results are bit-identical either way.
+
+        Capacity note: when ``total_bits`` exceeds the instance's
+        traceback capacity this grows it via set_traceback_length - and
+        the growth is sticky, exactly like the reference core's
+        (viterbi_decoder_core.h:180-186): later reset() calls allocate
+        at the grown size and each distinct size retraces _update_jit.
+        Construct with ``traceback_length=total_bits`` up front when the
+        frame size is known.
         """
         symbols = jnp.asarray(symbols)
         B = symbols.shape[0]

@@ -163,7 +163,6 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
     rows_needed = total_bits + Kb
     if T < rows_needed:
         raise ValueError("decision history shorter than total_bits + K - 1")
-    from . import jax_core
     if jax_core.needs_big_state(spec):
         # K=15-class codes: the per-lane word select unrolls W-wide;
         # beyond the lane-resident bound use the XLA scan (same fallback

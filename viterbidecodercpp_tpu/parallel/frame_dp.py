@@ -40,7 +40,7 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
     ``reference_bits`` is given, else 0).
     """
 
-    def shard_fn(sym_blk, ref_blk):
+    def shard_fn(sym_blk, ref_blk=None):
         Bl = sym_blk.shape[0]
         m0 = pvary(jax_core.initial_metrics(spec, Bl), "data")
         if use_pallas:
@@ -56,18 +56,19 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
             from ..ops import acs_pallas, chainback_pallas
             m, packed, acc = acs_pallas.acs_pallas(spec, m0, sym_blk)
             bits = chainback_pallas.chainback_pallas(
-                spec, packed, jnp.zeros(Bl, jnp.int32), total_bits)
+                spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
+                total_bits)
         else:
             m, packed, acc = jax_core.acs_scan(spec, m0, sym_blk)
             bits = jax_core.chainback_scan(
                 spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
                 total_bits)
-        errs = jnp.sum((bits != ref_blk).astype(jnp.int32))
+        if ref_blk is None:
+            errs = pvary(jnp.zeros((), jnp.int32), "data")
+        else:
+            errs = jnp.sum((bits != ref_blk).astype(jnp.int32))
         total_errs = jax.lax.psum(errs, "data")
         return bits, total_errs
-
-    if reference_bits is None:
-        reference_bits = jnp.zeros((symbols.shape[0], total_bits), jnp.uint8)
 
     kwargs = {}
     if use_pallas and jax.default_backend() != "tpu":
@@ -76,6 +77,14 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         # tripping the vma check (JAX asks to file an issue).  Compiled
         # TPU kernels are unaffected.
         kwargs["check_vma"] = False
+    if reference_bits is None:
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data", None, None),),
+            out_specs=(P("data", None), P()),
+            **kwargs,
+        )
+        return jax.jit(fn)(symbols)
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None)),

@@ -77,6 +77,8 @@ class StreamingDecoder:
         self.chunk = int(chunk)
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         # Big-state codes stream through the plane kernel (the decision
         # ring keeps its frame-major slot-order layout); see decoder.py.
