@@ -253,7 +253,9 @@ extern "C" {
 // Encoder lifecycle.
 // ---------------------------------------------------------------------------
 void* vdt_encoder_create(int K, int R, const uint64_t* G) {
-  if (K < 2 || R < 1 || R > 8 || G == nullptr) return nullptr;
+  // K > 64 would shift a 64-bit register by >= 64 (UB) and cannot be
+  // represented by uint64 taps anyway.
+  if (K < 2 || K > 64 || R < 1 || R > 8 || G == nullptr) return nullptr;
   return MakeEncoder(K, R, G);
 }
 

@@ -26,7 +26,6 @@ B, T = 1024, 2048
 rng = np.random.RandomState(0)
 syms = jnp.asarray(rng.randint(-3, 4, (B, T, code.R)).astype(np.int32))
 m0 = jax_core.initial_metrics(spec, B)
-N = 65
 
 
 def make(acs):

@@ -33,6 +33,9 @@ def timed(f, *a):
 
 
 def marginal(f, m0, syms):
+    # deliberate deviation from cli_common.marginal_time: auto-scaled rep
+    # count + min-of-trials (the PERF.md ablation rows were recorded with
+    # this aggregation)
     timed(f, m0, syms, 1)
     n = 9
     while n < (1 << 20):

@@ -20,23 +20,8 @@ import jax.numpy as jnp
 from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
 from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
 
-
-def marginal_time(make_chained, n1=8, n2=64, trials=5):
-    """make_chained(reps) -> jitted zero-arg thunk returning device vals.
-
-    Median marginal between two sizable rep counts, synchronised by
-    device_get of the last leaf (see PERF.md "measurement methodology").
-    """
-    f1, f2 = make_chained(n1), make_chained(n2)
-
-    def t(f):
-        t0 = time.perf_counter()
-        jax.device_get(jax.tree_util.tree_leaves(f())[-1])
-        return time.perf_counter() - t0
-
-    t(f1), t(f2)  # compile + warm
-    samples = sorted((t(f2) - t(f1)) / (n2 - n1) for _ in range(trials))
-    return samples[len(samples) // 2]
+sys.path.insert(0, "tools")
+from cli_common import marginal_time  # the canonical shared protocol
 
 
 def main():

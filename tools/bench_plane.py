@@ -63,6 +63,9 @@ def timed(f, m0, syms, reps):
 
 
 def marginal(f, m0, syms, n1=2, n2=8, trials=5):
+    # deliberate deviation from cli_common.marginal_time: reps is *data*
+    # here, so one compile serves every rep count (plane compiles are
+    # ~26 s at G=16)
     timed(f, m0, syms, 1)   # compile + warm
     vals = []
     for _ in range(trials):

@@ -4,6 +4,7 @@ the -c/-d/-s filter conventions)."""
 
 import os
 import sys
+import time
 
 
 def apply_platform(argv=None):
@@ -48,3 +49,31 @@ def handle_list_flag(args) -> bool:
         print_code_list()
         return True
     return False
+
+
+def marginal_time(make_chained, n1=8, n2=64, trials=5):
+    """Canonical chained-in-jit marginal timing (PERF.md "measurement
+    methodology"): ``make_chained(reps)`` returns a jitted zero-arg
+    thunk whose reps iterations are carry-chained (overlap-impossible);
+    the median marginal (t(n2) - t(n1)) / (n2 - n1) cancels the
+    tunnel's per-dispatch RTT exactly, synchronised by device_get of
+    the last leaf.
+
+    This is the one shared home for the protocol.  Tools that deviate
+    do so deliberately and say why inline: bench_plane passes reps as
+    *data* (one compile serves every rep count), bench_acs_variants
+    interleaves variants across trials, bench_cassini reports
+    min-of-trials (its PERF.md rows were recorded that way).
+    """
+    import jax
+
+    f1, f2 = make_chained(n1), make_chained(n2)
+
+    def t(f):
+        t0 = time.perf_counter()
+        jax.device_get(jax.tree_util.tree_leaves(f())[-1])
+        return time.perf_counter() - t0
+
+    t(f1), t(f2)  # compile + warm
+    samples = sorted((t(f2) - t(f1)) / (n2 - n1) for _ in range(trials))
+    return samples[len(samples) // 2]

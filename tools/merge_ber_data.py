@@ -1,24 +1,42 @@
 #!/usr/bin/env python3
 """Merge per-code run_snr_ber JSON files into one data file (the
 framework's analogue of the reference's committed data_snr_ber_*.txt,
-SURVEY.md H14) and print a summary table."""
+SURVEY.md H14) and print a summary table.
+
+Usage: merge_ber_data.py IN.json [IN2.json ...] -o OUT.json
+       merge_ber_data.py IN.json            # summary only, no write
+"""
+import argparse
 import json
-import sys
 
-rows = []
-for path in sys.argv[1:-1]:
-    with open(path) as f:
-        rows.extend(json.load(f))
 
-out = sys.argv[-1]
-with open(out, "w") as f:
-    json.dump(rows, f, indent=1)
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inputs", nargs="+", help="run_snr_ber JSON files")
+    ap.add_argument("-o", "--out", default=None,
+                    help="merged output file (omit for summary only)")
+    args = ap.parse_args()
 
-print(f"{len(rows)} records -> {out}")
-for r in rows:
-    zero = next((e for e, b in zip(r["EbNo_dB"], r["ber"]) if b == 0.0), None)
-    tot = sum(r["total_bits"])
-    print(f"  {r['name']:18s} {r['decode_type']:7s} "
-          f"{len(r['ber']):2d} points, {tot/1e6:8.1f} Mbit, "
-          f"BER@0dB={r['ber'][0]:.3e}, first zero-error point: "
-          f"{zero if zero is not None else '-'} dB")
+    rows = []
+    for path in args.inputs:
+        with open(path) as f:
+            rows.extend(json.load(f))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"{len(rows)} records -> {args.out}")
+    else:
+        print(f"{len(rows)} records (no -o: summary only)")
+    for r in rows:
+        zero = next((e for e, b in zip(r["EbNo_dB"], r["ber"])
+                     if b == 0.0), None)
+        tot = sum(r["total_bits"])
+        print(f"  {r['name']:18s} {r['decode_type']:7s} "
+              f"{len(r['ber']):2d} points, {tot/1e6:8.1f} Mbit, "
+              f"BER@0dB={r['ber'][0]:.3e}, first zero-error point: "
+              f"{zero if zero is not None else '-'} dB")
+
+
+if __name__ == "__main__":
+    main()

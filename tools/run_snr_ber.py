@@ -67,7 +67,13 @@ def main():
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu import ber
 
-    use_pallas = None if args.s is None else (args.s == "pallas")
+    # Resolve the backend the same way ber.measure_point would so the
+    # JSON simd_type records what actually ran (a --cpu run without -s
+    # executes on the XLA scan, not the Pallas kernels).
+    if args.s is None:
+        import jax
+        args.s = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = args.s == "pallas"
     mesh = None
     if args.dp:
         from viterbidecodercpp_tpu.parallel.mesh import make_mesh
@@ -94,7 +100,7 @@ def main():
             rows.append({
                 "name": code.name,
                 "decode_type": dt.value,
-                "simd_type": ((args.s or "pallas").upper()
+                "simd_type": (args.s.upper()
                               + ("+HOSTCHAIN" if args.host_chain else "")),
                 "K": code.K,
                 "R": code.R,
