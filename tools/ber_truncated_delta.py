@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Statistical acceptance demo for the truncated chainback mode.
+
+Decodes AWGN-noisy frames (the run_snr_ber channel, same Eb/No maths as
+ber.py / run_snr_ber.cpp:319-325) ONCE per batch, then walks the same
+decision tensor twice - ``chainback(mode="exact")`` and
+``chainback(mode="truncated", block, overlap)`` - and reports:
+
+  * BER(exact), BER(truncated), and their delta,
+  * the direct exact-vs-truncated bit disagreement rate.
+
+With overlap >= ~10*K (the truncated-Viterbi merge depth) the delta is
+expected to be ~0: the truncated walk's tiles converge onto the ML path
+before their emit window begins.  This is the acceptance evidence for
+``ViterbiDecoder.chainback(mode="truncated")`` (PERF.md; the mode's
+value is bounded-latency tiles + the block_sp guarantee, not one-chip
+throughput).
+
+Both walks run on the plane backend (Cassini-class big states, the only
+backend that offers the mode).  Works on TPU (compiled Mosaic) and CPU
+(interpret-mode Pallas, slower; pass --cpu and a smaller --bits).
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import argparse
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def main():
+    apply_platform()       # consumes --cpu; must precede any jax init
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="Cassini")
+    ap.add_argument("--mode", default="SOFT16")
+    ap.add_argument("--ebno", type=float, default=0.5,
+                    help="Eb/No in dB (0.5 => Cassini SOFT16 BER ~7e-3)")
+    ap.add_argument("--bits", type=int, default=1 << 21,
+                    help="total data bits to accumulate")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--block-bits", type=int, default=1024,
+                    help="data bits per frame")
+    ap.add_argument("--block", type=int, default=512,
+                    help="truncated-walk tile rows")
+    ap.add_argument("--overlap", type=int, default=160,
+                    help="truncated-walk warm-up rows (>= ~10*K)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from viterbidecodercpp_tpu import (DecodeType, ViterbiDecoder, get_code,
+                                       get_decode_config)
+    from viterbidecodercpp_tpu.utils import testsig
+
+    code = get_code(args.code)
+    config = get_decode_config(DecodeType(args.mode), code.R)
+    dec = ViterbiDecoder(code, config, backend="pallas",
+                         traceback_length=args.block_bits)
+    if not dec._plane:
+        sys.exit(f"{code.name} does not route to the plane backend; "
+                 "mode='truncated' is plane-only")
+    B, nbits = args.batch, args.block_bits
+    spec = dec.spec
+
+    @jax.jit
+    def step(key):
+        key, k1, k2 = jax.random.split(key, 3)
+        tx = jax.random.bernoulli(k1, 0.5, (B, nbits)).astype(jnp.uint8)
+        floats = testsig.modulate_encode(code, tx, True)
+        syms = testsig.awgn_quantize(floats, k2, args.ebno, code.R, spec)
+        st = dec.update(dec.reset(B), syms.reshape(B, -1))
+        rx_e = dec.chainback(st, nbits)
+        rx_t = dec.chainback(st, nbits, mode="truncated",
+                             block=args.block, overlap=args.overlap)
+        err_e = testsig.count_bit_errors(rx_e, tx)
+        err_t = testsig.count_bit_errors(rx_t, tx)
+        dis = (rx_e != rx_t).astype(jnp.int32).sum()
+        return key, err_e, err_t, dis
+
+    key = jax.random.PRNGKey(args.seed)
+    tot = np.zeros(3, np.int64)
+    done = 0
+    print(f"[trunc-delta] {code.name} {args.mode} Eb/No={args.ebno} dB "
+          f"block={args.block} overlap={args.overlap} "
+          f"(~10K={10 * code.K}) target={args.bits} bits", flush=True)
+    while done < args.bits:
+        key, err_e, err_t, dis = step(key)
+        tot += np.array(jax.device_get([err_e, err_t, dis]), np.int64)
+        done += B * nbits
+        print(f"  {done} bits: exact={tot[0]} trunc={tot[1]} "
+              f"disagree={tot[2]}", flush=True)
+
+    ber_e, ber_t = tot[0] / done, tot[1] / done
+    print(f"[trunc-delta] BER exact     = {ber_e:.6e} ({tot[0]} errs)")
+    print(f"[trunc-delta] BER truncated = {ber_t:.6e} ({tot[1]} errs)")
+    print(f"[trunc-delta] delta         = {ber_t - ber_e:+.3e} "
+          f"({tot[1] - tot[0]:+d} bits over {done})")
+    print(f"[trunc-delta] exact-vs-trunc disagreement = "
+          f"{tot[2] / done:.3e} ({tot[2]} bits)")
+    # acceptance: the truncated walk may differ from the exact ML walk
+    # on a vanishing fraction of bits, and must not be meaningfully
+    # WORSE than exact against the true data
+    assert tot[2] / done < 1e-3, "disagreement far beyond merge guarantee"
+    assert tot[1] <= tot[0] + max(64, int(0.02 * tot[0])), \
+        "truncated BER materially worse than exact"
+    print("[trunc-delta] PASS")
+
+
+if __name__ == "__main__":
+    main()
