@@ -431,8 +431,8 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
     )(*const_vals, metrics, symbols)
 
 
-def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
-                     ) -> int:
+def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int],
+                     total_steps: Optional[int] = None) -> int:
     """Block size in trellis steps per grid step.
 
     An explicit ``requested`` value is honoured exactly (rounded to the
@@ -440,17 +440,30 @@ def _auto_time_block(spec: StaticSpec, B_pad: int, requested: Optional[int]
     largest CHUNK-multiple block (capped at DEFAULT_TIME_BLOCK) whose
     double-buffered symbol + decision DMA blocks and the resident
     metric/branch tensors fit the VMEM budget (16 MiB/core on v5e,
-    with headroom for scratch)."""
+    with headroom for scratch), then even the blocks out over
+    ``total_steps`` so the grid's tail padding stays small: the time
+    axis pads up to a block multiple, and a block size that barely
+    misses dividing T wastes up to a whole block of dead steps (the
+    round-3 auto picked 248 at B=1024, padding T=2048 to 9x248=2232 -
+    9% dead work, measured -8% on the headline bench vs an even 256)."""
     if requested is not None:
         return max(CHUNK, (requested // CHUNK) * CHUNK)
-    budget = 10 * 1024 * 1024
+    budget = 11 * 1024 * 1024
     # metric blocks appear ~4x (input, output, init, working copy) plus
     # per-chunk temporaries of a few (H, B) tensors.
     resident = 4 * spec.S * B_pad * 4 + 8 * spec.H * B_pad * 4 + 4096
     per_step = 2 * (spec.R + spec.W) * B_pad * 4    # both DMA buffers
     tb = (budget - resident) // max(per_step, 1)
     tb = min(tb, DEFAULT_TIME_BLOCK)
-    return max(CHUNK, (tb // CHUNK) * CHUNK)
+    tb = max(CHUNK, (tb // CHUNK) * CHUNK)
+    if total_steps:
+        T = max(total_steps, CHUNK)
+        nblocks = -(-T // tb)
+        even = -(-T // nblocks)
+        # even <= tb and tb is already a CHUNK multiple, so the
+        # rounded-up even split never exceeds the VMEM-fit size
+        tb = -(-even // CHUNK) * CHUNK
+    return tb
 
 
 def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
@@ -458,7 +471,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
                interpret: bool = None, mxu_bm: bool = False,
                mxu_pack: bool = True, cond_renorm: bool = False,
                pair_io: bool = False, lane_groups: int = 1,
-               metric_dtype=jnp.int32, fast_bm: bool = False
+               metric_dtype=jnp.int32, fast_bm: bool = True
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`jax_core.acs_scan` (same contract):
 
@@ -488,7 +501,9 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     vreg-ops per trellis step without the MXU round-trip that made
     mxu_bm neutral.  Same in-range-symbols contract as mxu_bm; silently
     falls back to abs-diff when the regime is asymmetric or max_error
-    is custom.
+    is custom.  Default ON: measured +2% on the headline bench
+    (tools/bench_acs_variants.py, TPU v5e, 2026-08-18), bit-exact vs
+    abs-diff on the identity regimes (tests/test_pallas.py).
     """
     md = jnp.dtype(metric_dtype)
     if md != jnp.int32:
@@ -516,7 +531,7 @@ def acs_pallas(spec: StaticSpec, metrics: jnp.ndarray, symbols: jnp.ndarray,
     B, T, R = symbols.shape
     assert R == spec.R
     B_pad = -(-B // LANE_BATCH) * LANE_BATCH
-    time_block = _auto_time_block(spec, B_pad, time_block)
+    time_block = _auto_time_block(spec, B_pad, time_block, total_steps=T)
     time_block = min(time_block, -(-max(CHUNK, T) // CHUNK) * CHUNK)
     T_pad = -(-T // time_block) * time_block
 
