@@ -1,0 +1,74 @@
+#!/bin/bash
+# Round-4 TPU evidence queue: the remaining hardware-gated backlog in
+# judge-priority order, run unattended as soon as the axon tunnel is
+# healthy.  Derived from tools/tpu_recovery_run.sh (round 3); the ACS
+# variants sweep / bench.py / verify_vs_reference stages already ran
+# this round (tpu_logs/20260818T234715Z_*) so they are not repeated
+# here except where a stage regenerates a committed artifact.
+#
+#   tools/round4_tpu_queue.sh           # probe once, then run
+#   tools/round4_tpu_queue.sh --wait    # poll until the tunnel is up
+#
+# Each stage re-probes the tunnel first so one mid-run outage skips
+# cleanly instead of burning its whole timeout hanging.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+
+wait_up() {
+    until probe; do
+        echo "[queue] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+
+if [ "${1:-}" = "--wait" ]; then
+    echo "[queue] polling for tunnel recovery (2.5 min interval)..."
+    wait_up
+else
+    probe || { echo "[queue] TPU unreachable; rerun with --wait"; exit 3; }
+fi
+echo "[queue] tunnel is up ($(date -u +%H:%M:%SZ)); starting"
+
+run() { # name timeout cmd...
+    name=$1; tmo=$2; shift 2
+    wait_up
+    log="tpu_logs/${STAMP}_${name}.log"
+    echo "[queue] === $name: $* (timeout ${tmo}s, $(date -u +%H:%M:%SZ))"
+    if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+        echo "[queue] $name OK"
+    else
+        echo "[queue] $name FAILED rc=$? (see $log; continuing)"
+    fi
+    tail -4 "$log" | sed 's/^/    /'
+}
+
+# 1. the judge's top ask: compiled-Mosaic matrix incl. the 8-code BER
+#    gate (VITERBI_TEST_TPU=1) -> TPU_MATRIX.md at this HEAD
+run ci_tpu      7200 sh tools/ci_check.sh --tpu
+# 2. walk select-tree + truncated-mode timing (failed on a mid-compile
+#    tunnel drop on the first attempt this round; agreement gate passed)
+run bench_walk  2400 python tools/bench_walk.py
+# 3. K=15 plane kernel exactness + sweep at the new defaults
+run plane_check 1800 python tools/bench_plane.py --check
+run plane_sweep 2400 python tools/bench_plane.py
+# 4. the standing K=9 rotated-layout decision (round-1 item)
+run k9_check    1800 python tools/ablate_k9_rotated.py --check
+run k9_soft8    2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A"
+run k9_e2e      2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A" --e2e
+# 5. toolchain watch: int16 2x-lane-density probes
+run int16_small 1800 python tools/bench_acs_variants.py --int16
+run int16_plane 1800 python tools/bench_plane.py --mode SOFT8 --int16 --variants "16,2,1"
+# 6. regenerate the committed benchmark matrix at HEAD
+run benchmark   7200 python tools/run_benchmark.py -o data_benchmark_tpu.json
+# 7. truncated-chainback BER-delta acceptance demo, TPU leg
+run trunc_delta 2400 python tools/ber_truncated_delta.py
+# 8. re-measure the committed BER curves at HEAD (longest; last)
+run snr_ber     14400 python tools/run_snr_ber.py -o "tpu_logs/${STAMP}_snr_ber_head.json"
+
+echo "[queue] done $(date -u +%H:%M:%SZ); logs in tpu_logs/${STAMP}_*.log"
