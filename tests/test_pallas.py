@@ -277,3 +277,32 @@ def test_acs_int16_rejected_on_big_state_fallback():
     with pytest.raises(ValueError, match="big-state"):
         acs_pallas.acs_pallas(spec, m0, syms, interpret=True,
                               metric_dtype=jnp.int16)
+
+
+def test_auto_time_block_padding_aware():
+    """The auto block size must not leave a large dead tail: the grid
+    pads T up to a block multiple, so a VMEM-fit size that barely
+    misses dividing T wastes up to a whole block of steps (the round-3
+    auto picked 248 at B=1024, padding T=2048 by 9%; measured -8% on
+    the headline bench - PERF.md round-4 notes)."""
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    for B_pad in (128, 512, 1024, 2048):
+        for T in (64, 100, 1024, 2048, 5000):
+            tb = acs_pallas._auto_time_block(spec, B_pad, None,
+                                             total_steps=T)
+            assert tb % acs_pallas.CHUNK == 0 and tb >= acs_pallas.CHUNK
+            # budget respected: never larger than the un-evened fit
+            fit = acs_pallas._auto_time_block(spec, B_pad, None)
+            assert tb <= max(fit, acs_pallas.CHUNK)
+            # dead tail bounded by the CHUNK rounding of the even split
+            nblocks = -(-T // tb)
+            waste = nblocks * tb - T
+            assert waste < nblocks * acs_pallas.CHUNK + acs_pallas.CHUNK
+    # the headline shape divides exactly now
+    assert acs_pallas._auto_time_block(spec, 1024, None,
+                                       total_steps=2048) == 256
+    # explicit request still honoured exactly (caller owns VMEM fit)
+    assert acs_pallas._auto_time_block(spec, 1024, 192,
+                                       total_steps=2048) == 192
