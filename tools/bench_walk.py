@@ -70,11 +70,16 @@ def main():
     ends = jnp.zeros(B, jnp.int32)
 
     def make(fn, reps):
+        # ``packed`` and ``ends`` MUST be jit parameters, not closure
+        # captures: a captured device array is embedded in the lowered
+        # program as a constant, and the Cassini decision tensor
+        # (B=256 x T=1024 x 512 words = 0.5 GB) blows the remote Mosaic
+        # compile service's request-size limit (HTTP 413, 2026-08-19).
         @jax.jit
-        def run():
+        def run(packed, ends):
             def body(i, carry):
                 sink = carry
-                bits = fn(ends + (sink & 0))   # carry-chain via ends
+                bits = fn(packed, ends + (sink & 0))   # carry-chain via ends
                 return sink + bits.astype(jnp.int32).sum()
             return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
         return run
@@ -83,27 +88,27 @@ def main():
         on_tpu = jax.default_backend() == "tpu"
         n1, n2 = (4, 16) if on_tpu else (1, 2)
         f1, f2 = make(fn, n1), make(fn, n2)
-        jax.device_get(f1())
-        jax.device_get(f2())
+        jax.device_get(f1(packed, ends))
+        jax.device_get(f2(packed, ends))
         vals = []
         for _ in range(5 if on_tpu else 1):
-            t0 = time.perf_counter(); jax.device_get(f1())
-            t1 = time.perf_counter(); jax.device_get(f2())
+            t0 = time.perf_counter(); jax.device_get(f1(packed, ends))
+            t1 = time.perf_counter(); jax.device_get(f2(packed, ends))
             t2 = time.perf_counter()
             vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
         return float(np.median(vals))
 
-    exact_fn = lambda e: bp.chainback_plane(spec, packed, e, total_bits)
-    trunc_fn = lambda e: bp.chainback_plane_truncated(
-        spec, packed, e, total_bits, None, args.block, args.overlap)
+    exact_fn = lambda p, e: bp.chainback_plane(spec, p, e, total_bits)
+    trunc_fn = lambda p, e: bp.chainback_plane_truncated(
+        spec, p, e, total_bits, None, args.block, args.overlap)
 
     # agreement gate first (real survivor structure).  The truncated
     # walk is exact only with overwhelming probability (overlap >=
     # ~10K merge guidance); a stray unmerged tile is expected
     # statistical behaviour, not a kernel regression, so tolerate a
     # tiny epsilon instead of aborting the unattended recovery run.
-    be = np.asarray(exact_fn(ends))
-    bt = np.asarray(trunc_fn(ends))
+    be = np.asarray(exact_fn(packed, ends))
+    bt = np.asarray(trunc_fn(packed, ends))
     agree = (be == bt).mean()
     print(f"[bench_walk] truncated/exact agreement: {agree:.6f} "
           f"({(be != bt).sum()} / {be.size} bits differ) "
