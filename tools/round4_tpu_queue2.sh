@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-4 TPU queue, v2: measurement stages only, each retried through
+# tunnel flaps (the 2026-08-19 outage pattern is ~20 min up / ~8 min
+# down, so any stage can die mid-run; v1 ran each stage once).  The
+# artifact stages (run_benchmark, snr_ber, ci --tpu matrix) run later,
+# after these measurements decide the k9/int16/walk adoption edits, so
+# they stamp at near-final HEAD.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"   # harmless if axon ignores it
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+
+wait_up() {
+    until probe; do
+        echo "[queue2] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+
+run() { # name attempts timeout cmd...
+    name=$1; tries=$2; tmo=$3; shift 3
+    for a in $(seq 1 "$tries"); do
+        wait_up
+        log="tpu_logs/${STAMP}_${name}_a${a}.log"
+        echo "[queue2] === $name attempt $a/$tries: $* (timeout ${tmo}s, $(date -u +%H:%M:%SZ))"
+        if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+            echo "[queue2] $name OK (attempt $a)"
+            tail -5 "$log" | sed 's/^/    /'
+            return 0
+        fi
+        echo "[queue2] $name attempt $a FAILED rc=$? (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    echo "[queue2] $name EXHAUSTED after $tries attempts"
+}
+
+run bench_walk  3 2400 python tools/bench_walk.py
+run plane_sweep 3 2400 python tools/bench_plane.py
+run k9_check    3 1800 python tools/ablate_k9_rotated.py --check
+run k9_soft8    3 2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A"
+run k9_e2e      3 2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A" --e2e
+# toolchain probes: failure is expected to be deterministic (remote
+# Mosaic int16), so fewer retries
+run int16_small 2 1800 python tools/bench_acs_variants.py --int16
+run int16_plane 2 1800 python tools/bench_plane.py --mode SOFT8 --int16 --variants "16,2,1"
+run trunc_delta 3 2400 python tools/ber_truncated_delta.py
+
+echo "[queue2] done $(date -u +%H:%M:%SZ); logs in tpu_logs/${STAMP}_*.log"
