@@ -116,11 +116,15 @@ def _measure(args):
     import jax.numpy as jnp
 
     from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
-    from viterbidecodercpp_tpu.ops import acs_pallas, chainback_pallas, jax_core
+    from viterbidecodercpp_tpu.ops import (acs_pallas, chainback_pallas,
+                                           jax_core, rotated_pallas)
 
     code = get_code("Voyager")                     # K=7 R=1/2
     config = get_decode_config(DecodeType.SOFT8, code.R)
     spec = jax_core.make_static_spec(code, config)
+    # production parity: the decoder routes 64 <= S <= 4096 to the
+    # rotated in-place kernel (round-4 adoption, PERF.md)
+    rotated = rotated_pallas.supports(spec)
 
     B, T = args.batch, args.steps
     total_bits = T - (code.K - 1)
@@ -137,10 +141,17 @@ def _measure(args):
         def run():
             def body(i, carry):
                 m, sink = carry
-                m, packed, acc = acs_pallas.acs_pallas(
-                    spec, m, syms, interpret=not on_tpu)
-                bits = chainback_pallas.chainback_pallas(
-                    spec, packed, ends, total_bits, interpret=not on_tpu)
+                if rotated:
+                    m, packed, acc = rotated_pallas.acs_rotated(
+                        spec, m, syms, interpret=not on_tpu)
+                    bits = chainback_pallas.chainback_pallas(
+                        spec, packed, ends, total_bits,
+                        slot_order=True, interpret=not on_tpu)
+                else:
+                    m, packed, acc = acs_pallas.acs_pallas(
+                        spec, m, syms, interpret=not on_tpu)
+                    bits = chainback_pallas.chainback_pallas(
+                        spec, packed, ends, total_bits, interpret=not on_tpu)
                 return m, sink + bits.astype(jnp.int32).sum() + acc.sum()
             return jax.lax.fori_loop(0, reps, body,
                                      (m0, jnp.zeros((), jnp.int32)))

@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-4 TPU queue, v3: decision-input measurements after the K=9
+# rotated adoption - (a) does the rotated kernel also beat the lane
+# kernel at K=7/S=64 (would move the headline code)? (b) the fixed
+# bench_walk timing (fold-proof rep carry).  The artifact stages
+# (sharded run_benchmark/snr_ber, ci --tpu) run in queue v4 once the
+# routing decisions are final.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+wait_up() {
+    until probe; do
+        echo "[queue3] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+run() { # name attempts timeout cmd...
+    name=$1; tries=$2; tmo=$3; shift 3
+    for a in $(seq 1 "$tries"); do
+        wait_up
+        log="tpu_logs/${STAMP}_${name}_a${a}.log"
+        echo "[queue3] === $name attempt $a/$tries ($(date -u +%H:%M:%SZ))"
+        if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+            echo "[queue3] $name OK (attempt $a)"
+            tail -4 "$log" | sed 's/^/    /'
+            return 0
+        fi
+        echo "[queue3] $name attempt $a FAILED (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    echo "[queue3] $name EXHAUSTED"
+}
+
+run rotk7      3 2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code Voyager
+run rotk7_e2e  3 2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code Voyager --e2e
+run rotk9_recheck 2 2400 python tools/ablate_k9_rotated.py --mode SOFT8 --code "CDMA IS-95A" --e2e
+run bench_walk 3 2400 python tools/bench_walk.py
+echo "[queue3] done $(date -u +%H:%M:%SZ)"

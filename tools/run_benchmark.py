@@ -36,12 +36,17 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     import jax.numpy as jnp
     import viterbidecodercpp_tpu as vt
     from viterbidecodercpp_tpu.ops import (acs_pallas, bigstate_pallas,
-                                           chainback_pallas, jax_core)
+                                           chainback_pallas, jax_core,
+                                           rotated_pallas)
 
     config = vt.get_decode_config(decode_type, code.R)
     spec = jax_core.make_static_spec(code, config)
     plane = (backend == "PALLAS" and jax_core.needs_big_state(spec)
              and bigstate_pallas.supports(spec))
+    # production parity: the decoder routes mid-size state counts to the
+    # rotated in-place kernel (round-4 adoption, PERF.md)
+    rotated = (backend == "PALLAS" and not plane
+               and rotated_pallas.supports(spec))
     total_bits = nbytes * 8
     T = total_bits + code.K - 1
     rng = np.random.RandomState(0)
@@ -64,6 +69,8 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
             # decoder adopts the kernel's padded buffer; no slice copy)
             return bigstate_pallas.acs_plane_pallas(spec, m, s,
                                                     keep_padding=True)
+        if rotated:
+            return rotated_pallas.acs_rotated(spec, m, s)
         if use_pallas:
             return acs_pallas.acs_pallas(spec, m, s)
         return jax_core.acs_scan(spec, m, s)
@@ -71,6 +78,10 @@ def bench_combo(code, decode_type, backend, batch, nbytes, seconds):
     def cback(p, e):
         if plane:
             return bigstate_pallas.chainback_plane(spec, p, e, total_bits)
+        if rotated:
+            # slot-order rows; one-shot fill walks the global schedule
+            return chainback_pallas.chainback_pallas(spec, p, e, total_bits,
+                                                     slot_order=True)
         if use_pallas:
             return chainback_pallas.chainback_pallas(spec, p, e, total_bits)
         return jax_core.chainback_scan(spec, p, e, total_bits)

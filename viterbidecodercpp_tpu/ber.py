@@ -199,7 +199,14 @@ def _decode_for_ber(spec, use_pallas, syms, block_bits, axis=None):
             spec, m0, syms, ends, block_bits)
         return bits
     if use_pallas:
-        from .ops import acs_pallas, chainback_pallas
+        from .ops import acs_pallas, chainback_pallas, rotated_pallas
+        if rotated_pallas.supports(spec):
+            # K=9-class mid-size states: rotated in-place kernel (1.5x
+            # the lane kernel, PERF.md round 4); one-shot blocks walk
+            # the global slot schedule, no per-row rots needed
+            _, packed, _ = rotated_pallas.acs_rotated(spec, m0, syms)
+            return chainback_pallas.chainback_pallas(
+                spec, packed, ends, block_bits, slot_order=True)
         _, packed, _ = acs_pallas.acs_pallas(spec, m0, syms)
         return chainback_pallas.chainback_pallas(spec, packed, ends,
                                                  block_bits)

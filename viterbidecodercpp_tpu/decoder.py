@@ -132,9 +132,18 @@ class ViterbiDecoder:
         # (T, W, B) DecoderState shape but plane bit-order, inverted by
         # the matching chainback below.
         self._plane = False
+        self._rotated = False
         if backend == "pallas":
             from .ops import bigstate_pallas
             self._plane = bigstate_pallas.supports(self.spec)
+            if not self._plane:
+                # small/mid state counts (64 <= S <= 4096): rotated
+                # in-place kernel, 1.5x the lane kernel on CDMA IS-95A
+                # and 1.3-1.9x on the K=7 class (PERF.md round-4
+                # ablations).  Decision rows are slot-order; chainback
+                # pairs the rotation-aware walk.
+                from .ops import rotated_pallas
+                self._rotated = rotated_pallas.supports(self.spec)
         self._traceback_length = int(traceback_length)
 
     # -- capacity ---------------------------------------------------------
@@ -180,6 +189,10 @@ class ViterbiDecoder:
             row_rots = jnp.zeros(phys, jnp.int32)
         else:
             dec_shape = (self.decision_rows, spec.W, batch)
+            if self._rotated:
+                # slot-order rows: per-row walk rotations recorded by
+                # update, streamed to the walk (like the plane path)
+                row_rots = jnp.zeros(self.decision_rows, jnp.int32)
         state = DecoderState(
             metrics=jax_core.initial_metrics(spec, batch, starting_state),
             # decode() skips the zero-fill (a decision-buffer-sized HBM
@@ -238,7 +251,17 @@ class ViterbiDecoder:
                     f"{nbits} new > capacity {capacity} "
                     "(set_traceback_length before reset, or chainback "
                     "and reset between blocks)")
-        backend = "plane" if self._plane else self.backend
+        backend = ("plane" if self._plane else
+                   "rotated" if self._rotated else self.backend)
+        if self._rotated and state.row_rots is None:
+            # state from a lane-backend decoder or user pytree surgery:
+            # rotated rows need their walk rotations recorded
+            state = dataclasses.replace(
+                state, row_rots=jnp.asarray(
+                    (np.arange(phys_rows) + 1) % (self.code.K - 1),
+                    jnp.int32))
+            if cursor is not None:
+                state._host_cursor = cursor
         full = False
         if self._plane:
             # Every chunk runs the one phase-0 plane kernel (the
@@ -316,7 +339,19 @@ class ViterbiDecoder:
                 decisions = jax.lax.dynamic_update_slice_in_dim(
                     state.decisions, packed, state.bit_cursor, axis=1)
         else:
-            if backend == "pallas":
+            if backend == "rotated":
+                # mid-size state counts (K=9 class): rotated in-place
+                # kernel, slot-order decision rows; per-row walk
+                # rotations recorded exactly like the plane path
+                from .ops import rotated_pallas
+                metrics, packed, acc = rotated_pallas.acs_rotated(
+                    spec, state.metrics, symbols)
+                n = spec.K - 1
+                chunk_rots = ((jnp.arange(packed.shape[0],
+                                          dtype=jnp.int32) + 1) % n)
+                row_rots = jax.lax.dynamic_update_slice(
+                    state.row_rots, chunk_rots, (state.bit_cursor,))
+            elif backend == "pallas":
                 from .ops import acs_pallas
                 metrics, packed, acc = acs_pallas.acs_pallas(
                     spec, state.metrics, symbols)
@@ -383,6 +418,14 @@ class ViterbiDecoder:
                 state.row_rots)
         if self.backend == "pallas":
             from .ops import chainback_pallas
+            if self._rotated:
+                # slot-order rows from the rotated kernel: stream each
+                # row's recorded rotation (chunk-local schedule); None
+                # (user-built state) falls back to the one-shot global
+                # schedule those rows follow
+                return chainback_pallas.chainback_pallas(
+                    self.spec, state.decisions, ends, total_bits,
+                    slot_order=True, rots=state.row_rots)
             return chainback_pallas.chainback_pallas(
                 self.spec, state.decisions, ends, total_bits)
         return jax_core.chainback_scan(self.spec, state.decisions, ends,

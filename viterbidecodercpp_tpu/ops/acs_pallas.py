@@ -136,6 +136,17 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
     num_chunks = time_block // CHUNK
     NG = lane_groups
 
+    def _min_states(nm):
+        """Min over the state axis, int32-widened for narrow metrics:
+        this Mosaic cannot lower reductions over int16 (pallas/mosaic
+        lowering NotImplementedError, observed 2026-08-19 - the last
+        int16 blocker after the remote-compile 500 was fixed upstream).
+        Elementwise int16 ops lower fine; only the reduce widens."""
+        if nm.dtype == jnp.int32:
+            return jnp.min(nm, axis=0, keepdims=True)
+        return jnp.min(nm.astype(jnp.int32), axis=0,
+                       keepdims=True).astype(nm.dtype)
+
     def kernel(*refs):
         it = iter(refs)
         bt_ref = None if mxu_bm else next(it)
@@ -231,7 +242,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
 
                 @pl.when(need)
                 def _renorm():
-                    mins = jnp.min(nm, axis=0, keepdims=True)
+                    mins = _min_states(nm)
                     sub = jnp.where(gate, mins, 0)
                     metrics_ref[:, gsl] = nm - sub
                     acc_ref[:, gsl] = (acc_ref[:, gsl]
@@ -243,7 +254,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
             else:
                 @pl.when(live)
                 def _always():
-                    mins = jnp.min(nm, axis=0, keepdims=True)
+                    mins = _min_states(nm)
                     sub = jnp.where(gate, mins, 0)
                     metrics_ref[:, gsl] = nm - sub
                     acc_ref[:, gsl] = (acc_ref[:, gsl]
@@ -294,7 +305,7 @@ def _make_kernel(spec: StaticSpec, time_block: int, total_steps: int,
                         nm, dec0, dec1 = acs_core(m, arg_for(u, full))
                         live = gbase + u < total_steps
                         gate = jnp.logical_and(nm[0:1, :] >= thr, live)
-                        mins = jnp.min(nm, axis=0, keepdims=True)
+                        mins = _min_states(nm)
                         sub = jnp.where(gate, mins, 0)
                         m = jnp.where(live, nm - sub, m)
                         sub32 = sub.astype(jnp.int32)

@@ -225,8 +225,16 @@ def _make_kernel(spec: StaticSpec, G: int, chunks: int, T: int,
                     # (viterbi_decoder_scalar.h:48, 139-153)
                     # Global min without a (1,1) intermediate (Mosaic has
                     # no both-axes broadcast): sublane reduce, then a
-                    # log-step roll all-reduce across lanes.
-                    mrow = jnp.min(nm, axis=0, keepdims=True)    # (1, COLS)
+                    # log-step roll all-reduce across lanes.  The sublane
+                    # reduce widens to int32 for narrow metric dtypes -
+                    # this Mosaic cannot lower reductions over int16
+                    # (NotImplementedError, observed 2026-08-19);
+                    # elementwise int16 (incl. the lane roll mins) is fine.
+                    if nm.dtype == jnp.int32:
+                        mrow = jnp.min(nm, axis=0, keepdims=True)
+                    else:
+                        mrow = jnp.min(nm.astype(jnp.int32), axis=0,
+                                       keepdims=True).astype(nm.dtype)
                     k = 1
                     while k < COLS:
                         mrow = jnp.minimum(mrow, roll(mrow, k, 1))

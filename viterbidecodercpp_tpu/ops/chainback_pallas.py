@@ -22,6 +22,7 @@ range - the same launch serves any (total_bits, end_state) readout.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,12 +58,17 @@ def _select_word(words, widx, W):
 
 
 def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
-                 time_block: int, slot_order: bool):
+                 time_block: int, slot_order: bool, streamed_rots: bool):
     W = spec.W
     Kb = spec.K - 1
     smask = spec.S - 1
 
-    def kernel(packed_ref, end_ref, bits_ref, state_scr):
+    def kernel(*refs):
+        if streamed_rots:
+            packed_ref, end_ref, rots_ref, bits_ref, state_scr = refs
+        else:
+            packed_ref, end_ref, bits_ref, state_scr = refs
+            rots_ref = None
         block = pl.program_id(0)
 
         @pl.when(block == 0)
@@ -86,8 +92,17 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
                 if slot_order:
                     # Rotated in-place ACS layouts (the plane kernel's
                     # schedule on the small geometry): the bit for
-                    # state s at step t sits at slot rotr_n(s, t+1)
-                    rot = (t + 1) % Kb
+                    # state s at step t sits at slot rotr_n(s, rot).
+                    # Chunked/streaming updates restart the rotation
+                    # schedule per chunk, so production walks stream
+                    # each row's recorded rotation through SMEM
+                    # (DecoderState.row_rots, like the plane walk);
+                    # without rots the one-shot global schedule
+                    # rot = (t+1) mod n applies.
+                    if streamed_rots:
+                        rot = rots_ref[t]
+                    else:
+                        rot = (t + 1) % Kb
                     q = ((state >> rot) | (state << (Kb - rot))) & smask
                 else:
                     q = state
@@ -108,54 +123,69 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
-                      end_state: jnp.ndarray, total_rows: int,
-                      interpret: bool, time_block: int,
+                      end_state: jnp.ndarray, rots: Optional[jnp.ndarray],
+                      total_rows: int, interpret: bool, time_block: int,
                       slot_order: bool = False) -> jnp.ndarray:
     """packed: (T_pad * W, B) int32 with T_pad % time_block == 0;
-    end_state: (1, B). Returns (T_pad, B) int32 decision-path bits."""
+    end_state: (1, B); rots: None or (T_pad,) int32 per-row walk
+    rotations (slot_order only). Returns (T_pad, B) int32 path bits."""
     W = spec.W
     TW, B = packed.shape
     T_pad = TW // W
     num_blocks = T_pad // time_block
+    streamed = rots is not None
 
     kernel = _make_kernel(spec, total_rows, num_blocks, time_block,
-                          slot_order)
+                          slot_order, streamed)
+    in_specs = [
+        pl.BlockSpec(
+            (time_block * W, B),
+            lambda i: (num_blocks - 1 - i, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [packed, end_state]
+    if streamed:
+        # rots ride SMEM un-blocked (rank-1 blocks must span the
+        # array); the kernel indexes at the global row - same pattern
+        # as bigstate_pallas._walk_frames_padded
+        in_specs.append(pl.BlockSpec((T_pad,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(rots)
     return pl.pallas_call(
         kernel,
         out_shape=jax_core.sds_like(packed, (T_pad, B), jnp.int32),
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (time_block * W, B),
-                lambda i: (num_blocks - 1 - i, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (time_block, B),
             lambda i: (num_blocks - 1 - i, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
         interpret=interpret,
-    )(packed, end_state)
+    )(*args)
 
 
 def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
                      end_state: jnp.ndarray, total_bits: int,
                      *, interpret: bool = None,
-                     slot_order: bool = False) -> jnp.ndarray:
+                     slot_order: bool = False,
+                     rots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Drop-in replacement for :func:`jax_core.chainback_scan`.
 
     packed: (T, W, B) int32 decision rows with T >= total_bits + K - 1;
     end_state: (B,) int32.  Returns (B, total_bits) uint8 data bits.
 
     ``slot_order``: the rows were packed by a rotated in-place ACS
-    layout (slot q at step t holds the bit for state rotl_n(q, t+1) -
-    the plane-kernel schedule on the (S, B) sublane geometry, see
-    tools/ablate_k9_rotated.py); the walk un-rotates per row.
+    layout (ops/rotated_pallas.py - the plane-kernel schedule on the
+    (S, B) sublane geometry); the walk un-rotates per row.  ``rots``
+    optionally gives each row's recorded rotation ((T,) int32,
+    DecoderState.row_rots - chunked/streaming updates restart the
+    schedule per chunk); without it the one-shot global schedule
+    rot = (t+1) mod n applies.
     """
     T, W, B = packed.shape
     assert W == spec.W
@@ -172,6 +202,8 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
                              "big-state codes use bigstate_pallas."
                              "walk_plane_frames")
         return jax_core.chainback_scan(spec, packed, end_state, total_bits)
+    if rots is not None and not slot_order:
+        raise ValueError("rots is only meaningful with slot_order=True")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -183,8 +215,13 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
     p = p.reshape(T_pad * W, B_pad)
     ends = jnp.pad(end_state.astype(jnp.int32)[None, :],
                    ((0, 0), (0, B_pad - B)))
+    r = None
+    if rots is not None:
+        r = rots.astype(jnp.int32)[:rows_needed]
+        r = jnp.pad(r, (0, T_pad - rows_needed))
 
-    bits = _chainback_padded(spec, p, ends, rows_needed, bool(interpret),
-                             time_block, bool(slot_order))
+    bits = _chainback_padded(spec, p, ends, r, rows_needed,
+                             bool(interpret), time_block,
+                             bool(slot_order))
     out = jnp.swapaxes(bits[Kb:rows_needed, :B], 0, 1)
     return out.astype(jnp.uint8)

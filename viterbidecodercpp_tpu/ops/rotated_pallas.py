@@ -1,0 +1,294 @@
+"""Rotated in-place (S, B) Pallas ACS kernel for mid-size state counts.
+
+The lane-resident kernel (ops/acs_pallas.py) computes four butterfly
+candidates on (H, B) half-tensors and pays an (H, 2, B) -> (S, B)
+sublane interleave per trellis step.  This kernel ports the K=15 plane
+kernel's schedule (ops/bigstate_pallas.py) to the small-state sublane
+geometry instead: logical state s lives at slot rotr_n(s, t) after t
+steps, so the butterfly writes IN PLACE (no interleave), each slot
+needs only two candidates (self + bm, partner + ibm), and the pairing
+partner at phase phi is a sublane roll by +-2^j (j = (n-1-phi) mod n).
+
+Adopted for 64 <= S <= 4096 after the round-4 TPU ablations
+(tools/ablate_k9_rotated.py, 2026-08-19): CDMA IS-95A K=9 SOFT8 at
+B=1024 x T=2048 measured 675 Msym/s kernel-only / 660 Msym/s with the
+slot-order chainback vs the lane kernel's 454 / 436 - 1.49x / 1.52x,
+clearing the adopt-iff->=1.5x bar recorded in PERF.md; Voyager K=7
+SOFT8 then measured 3445 / 2792 vs the lane kernel's 1783 / 2164
+(1.93x / 1.29x) once the statically-unrolled chunk loop fixed the
+S=64 Mosaic alignment failure.  Decision rows
+are emitted in slot order; the walk un-rotates per row
+(ops/chainback_pallas.py slot_order=True, per-row rotations streamed
+the same way the plane walk streams them).
+
+Replaces the same reference kernels as acs_pallas (C9-C15,
+x86/viterbi_decoder_{sse,avx}_u{8,16}.h) for the K=9-class codes the
+reference covers with AVX at 32/16 lanes.  Semantics are bit-identical
+to ops/numpy_ref.acs_run in both arithmetic modes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import jax_core
+from .bigstate import _rotr
+from .jax_core import StaticSpec
+
+__all__ = ["acs_rotated", "supports", "ROTATED_MIN_STATES"]
+
+LANE_BATCH = 128
+
+# The K=7 class (S=64) also wins on the rotated layout once the chunk
+# loop is statically unrolled (the pre-adoption fori_loop kernel could
+# not compile there): Voyager SOFT8 B=1024 T=2048 measured 3444.6 vs
+# 1782.7 Msym/s kernel-only and 2791.9 vs 2163.6 with chainback
+# (tpu_logs 20260819T052028Z_rotk7*, queue v3) - the in-place butterfly
+# deletes the (H, 2, B) interleave the lane kernel pays per step.
+# Above MAX_LANE_STATES the plane kernel takes over.
+ROTATED_MIN_STATES = 64
+
+
+def supports(spec: StaticSpec) -> bool:
+    return ROTATED_MIN_STATES <= spec.S <= jax_core.MAX_LANE_STATES
+
+
+def _slot_bt(spec: StaticSpec) -> np.ndarray:
+    """(n * R * S, 1) per-phase, per-slot branch-table values.
+
+    At phase phi the pairing bit is j = (n-1-phi) % n; slot p belongs
+    to the butterfly whose lo slot is p with bit j cleared, logical
+    half-state h = rotl_n(p_lo, phi) (same derivation as
+    bigstate_pallas._phase_bt_planes, over a 1-D sublane axis)."""
+    n = spec.K - 1
+    S = spec.S
+    bt = np.asarray(spec.bt, dtype=np.int32)          # (R, H)
+    pos = np.arange(S)
+    out = np.zeros((n, spec.R, S), np.int32)
+    for phi in range(n):
+        j = (n - 1 - phi) % n
+        p_lo = pos & ~(1 << j)
+        h = _rotr(p_lo, -phi, n)                      # rotl(p_lo, phi)
+        assert h.max() < spec.H
+        out[phi] = bt[:, h]
+    return out.reshape(n * spec.R * S, 1)
+
+
+# Mosaic allocates the statically-unrolled body's live temporaries on
+# the scoped-vmem stack (16 MiB limit).  Measured: 19.4 MiB at
+# (TB=32, S=256, B=1024) i32 -> ~2.3 stack bytes per unrolled-step
+# element.  The batch rides a grid dimension sized so the estimate
+# stays under budget at any B (the K=9 B=1024 one-shot OOM'd without
+# this, tpu_logs 20260819T052028Z_rotk9_recheck).
+_STACK_BYTES_PER_ELEM = 2.5
+_VMEM_STACK_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_batch_block(spec: StaticSpec, chunks: int, B_pad: int) -> int:
+    TB = chunks * (spec.K - 1)
+    d = B_pad // LANE_BATCH
+    for k in range(d, 0, -1):
+        if d % k:
+            continue
+        if _STACK_BYTES_PER_ELEM * TB * spec.S * k * LANE_BATCH \
+                <= _VMEM_STACK_BUDGET:
+            return k * LANE_BATCH
+    return LANE_BATCH
+
+
+def _pick_chunks(spec: StaticSpec, requested: Optional[int]) -> int:
+    """Trellis-chunk count per grid step (TB = chunks * n steps).
+
+    The symbol/decision DMA block heights TB*R and TB*W must be
+    8-sublane multiples (Mosaic tiling); round the requested count up
+    to the smallest multiple that aligns both.  chunks=4 measured best
+    at K=9 (tools/ablate_k9_rotated.py)."""
+    n = spec.K - 1
+    base = 4 if requested is None else max(1, int(requested))
+    g = np.gcd(8, n * spec.R)
+    step = 8 // g
+    g2 = np.gcd(8, n * spec.W)
+    step = int(np.lcm(step, 8 // g2))
+    return -(-base // step) * step
+
+
+def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
+                 interpret: bool):
+    n = spec.K - 1
+    S, R, W = spec.S, spec.R, spec.W
+    TB = chunks * n
+    cap = spec.metric_max
+    saturating = spec.saturating
+    thr = spec.renorm_threshold
+    max_error = spec.max_error
+
+    def roll(x, shift, axis):
+        shift %= x.shape[axis]
+        if interpret:
+            return jnp.roll(x, shift, axis)
+        return pltpu.roll(x, shift, axis)
+
+    def kernel(bt_ref, init_ref, sym_ref, m_ref, p_ref, acc_ref):
+        tb = pl.program_id(1)          # time is the inner grid dim
+        B = m_ref.shape[1]
+        shifts = jax.lax.broadcasted_iota(jnp.int32, (W, 32, B), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+
+        @pl.when(tb == 0)
+        def _init():
+            m_ref[...] = init_ref[...]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        # One full-block load/store per grid step: the chunk loop is
+        # statically unrolled, so every slice below is a compile-time
+        # offset and the stores stay provably sublane-aligned for ANY
+        # (n, R, W) - the fori_loop + dynamic-offset form this replaces
+        # only compiled when n*W happened to be a multiple of 8 (K=9)
+        # and failed Mosaic's alignment prover at K=7 (n*W = 12).
+        syms = sym_ref[...]                           # (TB * R, B)
+        words = []
+        for c in range(chunks):
+            for phi in range(n):
+                t_local = c * n + phi
+                j = (n - 1 - phi) % n
+                dist = 1 << j
+                maskj = (row_ids & dist) != 0
+                live = tb * TB + t_local < total_steps
+                m = m_ref[...]                        # (S, B)
+                bv = roll(m, -dist, 0)                # value at p + d
+                cv = roll(m, dist, 0)                 # value at p - d
+                partner = jnp.where(maskj, cv, bv)
+                boff = (phi * R) * S
+                srow = t_local * R
+                bm = jnp.abs(bt_ref[boff:boff + S, :] -
+                             syms[srow:srow + 1, :])
+                for r in range(1, R):
+                    bm = bm + jnp.abs(
+                        bt_ref[boff + r * S:boff + (r + 1) * S, :] -
+                        syms[srow + r:srow + r + 1, :])
+                ibm = max_error - bm
+                e_self = m + bm
+                e_part = partner + ibm
+                if saturating:
+                    e_self = jnp.minimum(e_self, cap)
+                    e_part = jnp.minimum(e_part, cap)
+                    diff = e_part - e_self
+                    c_lo = diff <= 0      # SIMD tie -> predecessor 1
+                    c_hi = diff >= 0
+                else:
+                    e_self = jnp.bitwise_and(e_self, cap)
+                    e_part = jnp.bitwise_and(e_part, cap)
+                    diff = e_self - e_part
+                    c_lo = diff > 0       # scalar tie -> predecessor 0
+                    c_hi = diff < 0
+                nm = jnp.where(
+                    maskj,
+                    jnp.where(c_hi, e_self, e_part),  # odd lands on hi
+                    jnp.where(c_lo, e_part, e_self))  # even lands on lo
+                dbit = jnp.where(maskj, c_hi.astype(jnp.int32),
+                                 c_lo.astype(jnp.int32))
+                # renorm: state 0 is slot 0 at every phase
+                # (viterbi_decoder_scalar.h:48, 139-153)
+                gate = jnp.logical_and(nm[0:1, :] >= thr, live)
+                mins = jnp.min(nm, axis=0, keepdims=True)
+                sub = jnp.where(gate, mins, 0)
+                m_ref[...] = jnp.where(live, nm - sub, m)
+                acc_ref[...] = acc_ref[...] + sub
+                words.append((dbit.reshape(W, 32, B) << shifts).sum(axis=1))
+        p_ref[...] = jnp.concatenate(words, 0)        # (TB * W, B)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
+                        symbols: jnp.ndarray, chunks: int,
+                        total_steps: int, interpret: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """metrics: (S, B) i32 SLOT layout (phase 0 == state order);
+    symbols: (T_pad * R, B) i32 column rows, T_pad % (chunks * n) == 0.
+    Returns (metrics (S, B) slot layout at phase T_pad % n, packed
+    slot-order (T_pad * W, B), acc (1, B))."""
+    n = spec.K - 1
+    S, B = metrics.shape
+    W = spec.W
+    TB = chunks * n
+    T_pad = symbols.shape[0] // spec.R
+    assert T_pad % TB == 0
+    bt = jnp.asarray(_slot_bt(spec))
+    kernel = _make_kernel(spec, chunks, total_steps, interpret)
+    # Batch rides the OUTER grid dim (blocks are independent columns);
+    # time sweeps the inner dim so the metric/acc carry blocks stay
+    # resident per batch block.
+    BB = _pick_batch_block(spec, chunks, B)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB, T_pad // TB),
+        in_specs=[
+            pl.BlockSpec((bt.shape[0], 1), lambda b, t: (0, 0)),
+            pl.BlockSpec((S, BB), lambda b, t: (0, b)),
+            pl.BlockSpec((TB * spec.R, BB), lambda b, t: (t, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, BB), lambda b, t: (0, b)),
+            pl.BlockSpec((TB * W, BB), lambda b, t: (t, b)),
+            pl.BlockSpec((1, BB), lambda b, t: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad * W, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bt, metrics, symbols)
+
+
+def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
+                symbols: jnp.ndarray, *, chunks: Optional[int] = None,
+                interpret: Optional[bool] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for :func:`acs_pallas.acs_pallas` on the
+    mid-size state counts (same contract, slot-order decision rows):
+
+    metrics (S, B) int32 *state order*, symbols (B, T, R) int32 ->
+    (metrics (S, B) int32 state order, packed (T, W, B) int32
+    slot-order rows, acc (B,) int32).
+
+    Like the plane kernel, the metric contract is logical state order
+    at BOTH ends: the kernel runs its rotation schedule from age 0 and
+    the wrapper un-rotates the final metrics (one trace-time-constant
+    (S, B) gather per call), so chunked/streaming updates chain without
+    phase bookkeeping.  Decision row i of this call is slot-rotated by
+    (i + 1) mod n - the caller records that in DecoderState.row_rots
+    exactly as the plane path does, and the slot-order chainback
+    consumes it."""
+    n = spec.K - 1
+    S, B = metrics.shape
+    B2, T, R = symbols.shape
+    assert B2 == B and R == spec.R
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    chunks = _pick_chunks(spec, chunks)
+    TB = chunks * n
+    T_pad = -(-max(T, 1) // TB) * TB
+    B_pad = -(-B // LANE_BATCH) * LANE_BATCH
+
+    cols = jnp.transpose(symbols.astype(jnp.int32), (1, 2, 0))
+    cols = cols.reshape(T * R, B)
+    cols = jnp.pad(cols, ((0, (T_pad - T) * R), (0, B_pad - B)))
+    m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
+
+    m2, packed, acc = _acs_rotated_padded(spec, m, cols, chunks, T,
+                                          bool(interpret))
+    # dead steps (live-masked) leave the metric layout at age T % n
+    perm = _rotr(np.arange(S), T % n, n)
+    m2 = m2[jnp.asarray(perm), :B]
+    packed = packed.reshape(T_pad, spec.W, B_pad)[:T, :, :B]
+    return m2, packed, acc[0, :B]

@@ -53,11 +53,20 @@ def decode_dp(spec: jax_core.StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
                 spec, m0, sym_blk,
                 pvary(jnp.zeros(Bl, jnp.int32), "data"), total_bits)
         elif use_pallas:
-            from ..ops import acs_pallas, chainback_pallas
-            m, packed, acc = acs_pallas.acs_pallas(spec, m0, sym_blk)
-            bits = chainback_pallas.chainback_pallas(
-                spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
-                total_bits)
+            from ..ops import acs_pallas, chainback_pallas, rotated_pallas
+            if rotated_pallas.supports(spec):
+                # K=9-class: rotated kernel + slot-order walk (one-shot
+                # blocks follow the global schedule; PERF.md round 4)
+                m, packed, acc = rotated_pallas.acs_rotated(
+                    spec, m0, sym_blk)
+                bits = chainback_pallas.chainback_pallas(
+                    spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
+                    total_bits, slot_order=True)
+            else:
+                m, packed, acc = acs_pallas.acs_pallas(spec, m0, sym_blk)
+                bits = chainback_pallas.chainback_pallas(
+                    spec, packed, pvary(jnp.zeros(Bl, jnp.int32), "data"),
+                    total_bits)
         else:
             m, packed, acc = jax_core.acs_scan(spec, m0, sym_blk)
             bits = jax_core.chainback_scan(
