@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-4 TPU queue, v4: the artifact stages, run AFTER the rotated
+# adoption landed (commit 0484bde) so every regenerated artifact
+# reflects HEAD routing.
+#   1. ci_tpu      - tools/ci_check.sh --tpu -> TPU_MATRIX.md (full
+#                    compiled-Mosaic suite incl. the 24 BER gates,
+#                    device harness runs, reference bit-exactness)
+#   2. bench_c0..7 - run_benchmark.py sharded per code (the monolithic
+#                    run outlives tunnel flaps; shards retry cheaply);
+#                    merged into data_benchmark_tpu.json afterwards
+#   3. ber_c0..7   - run_snr_ber.py sharded per code; merged into
+#                    data_snr_ber_tpu.json via tools/merge_ber_data.py
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+wait_up() {
+    until probe; do
+        echo "[queue4] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+run() { # name attempts timeout cmd...
+    name=$1; tries=$2; tmo=$3; shift 3
+    for a in $(seq 1 "$tries"); do
+        wait_up
+        log="tpu_logs/${STAMP}_${name}_a${a}.log"
+        echo "[queue4] === $name attempt $a/$tries ($(date -u +%H:%M:%SZ))"
+        if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+            echo "[queue4] $name OK (attempt $a)"
+            tail -3 "$log" | sed 's/^/    /'
+            return 0
+        fi
+        echo "[queue4] $name attempt $a FAILED (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    echo "[queue4] $name EXHAUSTED"
+    return 1
+}
+
+run ci_tpu 3 7200 sh tools/ci_check.sh --tpu
+
+for c in 0 1 2 3 4 5 6 7; do
+    run "bench_c${c}" 3 2400 python tools/run_benchmark.py -c "$c" \
+        -o "tpu_logs/${STAMP}_bench_c${c}.json"
+done
+
+for c in 0 1 2 3 4 5 6 7; do
+    run "ber_c${c}" 3 5400 python tools/run_snr_ber.py -c "$c" \
+        -o "tpu_logs/${STAMP}_ber_c${c}.json"
+done
+
+echo "[queue4] done $(date -u +%H:%M:%SZ); merge shards:"
+echo "  python - <<'PY'"
+echo "import json,glob; rows=[]"
+echo "for p in sorted(glob.glob('tpu_logs/${STAMP}_bench_c*.json')): rows+=json.load(open(p))"
+echo "json.dump(rows, open('data_benchmark_tpu.json','w'), indent=1)"
+echo "PY"
+echo "  python tools/merge_ber_data.py tpu_logs/${STAMP}_ber_c*.json -o data_snr_ber_tpu.json"

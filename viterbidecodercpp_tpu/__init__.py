@@ -23,7 +23,7 @@ from .config import DECODE_TYPES, DecodeType, DecoderConfig, get_decode_config
 from .decoder import DecoderState, ViterbiDecoder
 from .streaming import StreamingDecoder, StreamingState
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "CodeSpec",
