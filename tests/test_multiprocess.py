@@ -16,6 +16,7 @@ section 4).  Workers assert exact decodes; any failure propagates as a
 nonzero exit.
 """
 
+import jax
 import pytest
 
 from viterbidecodercpp_tpu.parallel import launch
@@ -46,11 +47,12 @@ def test_spawn_fleet_failure_paths():
                            success_token="ABSENT")
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2,
+                    reason="needs >= 2 devices (virtual CPU mesh); the "
+                           "1-chip TPU leg skips")
 def test_hybrid_mesh_single_process():
     """make_hybrid_mesh on the in-process (virtual 8-device) fleet:
     axis order is DCN-outer, sizes must cover every device."""
-    import jax
-
     n = jax.device_count()
     mesh = launch.make_hybrid_mesh(dcn={"data": 2}, ici={"time": n // 2})
     assert mesh.axis_names == ("data", "time")

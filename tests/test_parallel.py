@@ -287,6 +287,7 @@ def test_block_sp_halo_diagnostic_detects_undersized_overlap():
     assert int(mism2) == 0
 
 
+@needs_mesh
 def test_ber_point_mesh_data_parallel():
     """measure_point(mesh=...): the BER point runs data-parallel over
     the 8-device mesh (device-folded PRNG streams, psum'd global

@@ -93,3 +93,29 @@ def test_streaming_plane_k15():
     got = stream[:, code.K - 1:code.K - 1 + total_bits]
     expect = np.unpackbits(data, axis=1, bitorder="big")
     np.testing.assert_array_equal(got, expect)
+
+def test_streaming_rotated_small():
+    """64 <= S <= 4096 streams through the rotated in-place kernel
+    (backend='pallas', interpret on CPU): committed bits must match the
+    xla-backend stream bit-for-bit, including chunks that are NOT a
+    multiple of K-1 (per-push schedule re-base + static ring rotation
+    pattern)."""
+    code = get_code("Voyager")
+    window, chunk = 72, 9          # chunk % 6 != 0
+    sp = StreamingDecoder(code, "SOFT8", window=window, chunk=chunk,
+                          backend="pallas")
+    sx = StreamingDecoder(code, "SOFT8", window=window, chunk=chunk,
+                          backend="xla")
+    assert sp._rotated and not sp._plane
+    rng = np.random.RandomState(8)
+    n_push = 16
+    stp, stx = sp.reset(2), sx.reset(2)
+    for _ in range(n_push):
+        blk = rng.randint(-3, 4, (2, chunk * code.R)).astype(np.int32)
+        stp, bp, vp = sp.push(stp, blk)
+        stx, bx, vx = sx.push(stx, blk)
+        assert bool(vp) == bool(vx)
+        if bool(vp):
+            np.testing.assert_array_equal(np.asarray(bp), np.asarray(bx))
+    np.testing.assert_array_equal(np.asarray(stp.metrics),
+                                  np.asarray(stx.metrics))

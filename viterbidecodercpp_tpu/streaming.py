@@ -83,9 +83,17 @@ class StreamingDecoder:
         # Big-state codes stream through the plane kernel (the decision
         # ring keeps its frame-major slot-order layout); see decoder.py.
         self._plane = False
+        self._rotated = False
         if backend == "pallas":
             from .ops import bigstate_pallas
             self._plane = bigstate_pallas.supports(self.spec)
+            if not self._plane:
+                # 64 <= S <= 4096: rotated in-place kernel (round-4
+                # adoption, PERF.md).  The ring keeps its slot-order
+                # rows; the walk below un-rotates with the static
+                # per-row pattern (each push is one fresh chunk).
+                from .ops import rotated_pallas
+                self._rotated = rotated_pallas.supports(self.spec)
 
     def reset(self, batch: int, starting_state: int = 0) -> StreamingState:
         spec = self.spec
@@ -124,17 +132,21 @@ class StreamingDecoder:
                                    state, symbols)
         new_state, bits, valid = _push_jit(self.spec, self.backend,
                                            self.window, self.chunk,
-                                           state, symbols)
+                                           self._rotated, state, symbols)
         return new_state, bits, valid
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(4,))
-def _push_jit(spec, backend, window, chunk, state: StreamingState,
-              symbols: jnp.ndarray):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(5,))
+def _push_jit(spec, backend, window, chunk, rotated,
+              state: StreamingState, symbols: jnp.ndarray):
     # same input clamp as ViterbiDecoder.update (decoder-wide contract)
     symbols = jnp.clip(symbols, spec.soft_low, spec.soft_high)
-    if backend == "pallas":
+    if rotated:
+        from .ops import rotated_pallas
+        metrics, packed, _ = rotated_pallas.acs_rotated(
+            spec, state.metrics, symbols)
+    elif backend == "pallas":
         from .ops import acs_pallas
         metrics, packed, _ = acs_pallas.acs_pallas(spec, state.metrics,
                                                    symbols)
@@ -149,12 +161,32 @@ def _push_jit(spec, backend, window, chunk, state: StreamingState,
     # commit the oldest `chunk` bits (delay = window - chunk .. window-1)
     best = jnp.argmin(metrics, axis=0).astype(jnp.int32)      # (B,)
 
-    def walk(s, words):
-        d = jax_core._unpack_bit(spec, words, s)
-        s = (s >> 1) | (d << (spec.K - 2))
-        return s, d.astype(jnp.uint8)
+    if rotated:
+        # Slot-order rows: the ring shifts by exactly `chunk` rows per
+        # push and each push restarts the kernel's rotation schedule,
+        # so history row i's slot rotation is the STATIC pattern
+        # ((i mod chunk) + 1) mod n - one compile, no rots carry
+        # (mirrors _push_plane_jit).  The bit for logical state s sits
+        # at slot rotr_n(s, rot).
+        n = spec.K - 1
+        smask = spec.S - 1
+        rots = (jnp.arange(window, dtype=jnp.int32) % chunk + 1) % n
 
-    _, bits_rev = jax.lax.scan(walk, best, history[::-1])
+        def walk(s, inp):
+            words, rot = inp
+            q = ((s >> rot) | (s << (n - rot))) & smask
+            d = jax_core._unpack_bit(spec, words, q)
+            s = (s >> 1) | (d << (spec.K - 2))
+            return s, d.astype(jnp.uint8)
+
+        _, bits_rev = jax.lax.scan(walk, best, (history[::-1], rots[::-1]))
+    else:
+        def walk(s, words):
+            d = jax_core._unpack_bit(spec, words, s)
+            s = (s >> 1) | (d << (spec.K - 2))
+            return s, d.astype(jnp.uint8)
+
+        _, bits_rev = jax.lax.scan(walk, best, history[::-1])
     bits = jnp.swapaxes(bits_rev[::-1][:chunk], 0, 1)          # (B, chunk)
 
     new_state = StreamingState(metrics=metrics, history=history,
