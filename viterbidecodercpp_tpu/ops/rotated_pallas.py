@@ -9,7 +9,9 @@ steps, so the butterfly writes IN PLACE (no interleave), each slot
 needs only two candidates (self + bm, partner + ibm), and the pairing
 partner at phase phi is a sublane roll by +-2^j (j = (n-1-phi) mod n).
 
-Adopted for 64 <= S <= 4096 after the round-4 TPU ablations
+Adopted for 64 <= S <= 4096 (where the scoped-VMEM stack model in
+:func:`supports` admits a geometry; heavier (S, W) combinations fall
+back to the lane kernel) after the round-4 TPU ablations
 (tools/ablate_k9_rotated.py, 2026-08-19): CDMA IS-95A K=9 SOFT8 at
 B=1024 x T=2048 measured 675 Msym/s kernel-only / 660 Msym/s with the
 slot-order chainback vs the lane kernel's 454 / 436 - 1.49x / 1.52x,
@@ -57,7 +59,18 @@ ROTATED_MIN_STATES = 64
 
 
 def supports(spec: StaticSpec) -> bool:
-    return ROTATED_MIN_STATES <= spec.S <= jax_core.MAX_LANE_STATES
+    """True iff the rotated kernel handles this spec: state count in
+    range AND some (chunks, batch-block) geometry fits the scoped-VMEM
+    stack budget (the statically-unrolled body's temporaries live on
+    Mosaic's 16 MiB kernel stack; specs where even the minimum-aligned
+    chunk count at a single lane tile overflows — e.g. K=11 R=1/3,
+    W=32, TB floor 40, measured 18.6 MiB — fall back to the lane
+    kernel)."""
+    if not ROTATED_MIN_STATES <= spec.S <= jax_core.MAX_LANE_STATES:
+        return False
+    cmin = _chunk_step(spec)
+    return _stack_est(spec, cmin * (spec.K - 1), LANE_BATCH) \
+        <= _VMEM_STACK_BUDGET
 
 
 def _slot_bt(spec: StaticSpec) -> np.ndarray:
@@ -83,12 +96,30 @@ def _slot_bt(spec: StaticSpec) -> np.ndarray:
 
 # Mosaic allocates the statically-unrolled body's live temporaries on
 # the scoped-vmem stack (16 MiB limit).  Measured: 19.4 MiB at
-# (TB=32, S=256, B=1024) i32 -> ~2.3 stack bytes per unrolled-step
-# element.  The batch rides a grid dimension sized so the estimate
-# stays under budget at any B (the K=9 B=1024 one-shot OOM'd without
-# this, tpu_logs 20260819T052028Z_rotk9_recheck).
-_STACK_BYTES_PER_ELEM = 2.5
+# (TB=32, S=256, B=1024, W=8) and 18.6 MiB at (TB=40, S=1024, B=128,
+# W=32) -> ~2.3 and ~3.6 stack bytes per unrolled-step element - the
+# per-element cost grows with the decision-word count, modelled as
+# 2.5 * (1 + W/64) (22% / 6% margin over the two measured points).
+# Geometry adapts in this order: shrink the batch block (a grid
+# dimension over B), then the chunk count (down to its alignment
+# floor); specs where even the floor overflows are rejected by
+# supports() and fall back to the lane kernel.
 _VMEM_STACK_BUDGET = 12 * 1024 * 1024
+
+
+def _stack_est(spec: StaticSpec, TB: int, BB: int) -> float:
+    c = 2.5 * (1.0 + spec.W / 64.0)
+    return c * TB * spec.S * BB
+
+
+def _chunk_step(spec: StaticSpec) -> int:
+    """Smallest chunk-count multiple keeping the symbol/decision DMA
+    block heights TB*R and TB*W 8-sublane-aligned (Mosaic tiling)."""
+    n = spec.K - 1
+    g = np.gcd(8, n * spec.R)
+    step = 8 // g
+    g2 = np.gcd(8, n * spec.W)
+    return int(np.lcm(step, 8 // g2))
 
 
 def _pick_batch_block(spec: StaticSpec, chunks: int, B_pad: int) -> int:
@@ -97,8 +128,7 @@ def _pick_batch_block(spec: StaticSpec, chunks: int, B_pad: int) -> int:
     for k in range(d, 0, -1):
         if d % k:
             continue
-        if _STACK_BYTES_PER_ELEM * TB * spec.S * k * LANE_BATCH \
-                <= _VMEM_STACK_BUDGET:
+        if _stack_est(spec, TB, k * LANE_BATCH) <= _VMEM_STACK_BUDGET:
             return k * LANE_BATCH
     return LANE_BATCH
 
@@ -106,17 +136,20 @@ def _pick_batch_block(spec: StaticSpec, chunks: int, B_pad: int) -> int:
 def _pick_chunks(spec: StaticSpec, requested: Optional[int]) -> int:
     """Trellis-chunk count per grid step (TB = chunks * n steps).
 
-    The symbol/decision DMA block heights TB*R and TB*W must be
-    8-sublane multiples (Mosaic tiling); round the requested count up
-    to the smallest multiple that aligns both.  chunks=4 measured best
-    at K=9 (tools/ablate_k9_rotated.py)."""
+    An explicit request is rounded up to the alignment step and
+    honoured as-is (ablation use).  The default (4, measured best at
+    K=9, tools/ablate_k9_rotated.py) additionally backs off by the
+    alignment step while the stack model says a single lane-tile batch
+    block would overflow scoped VMEM."""
     n = spec.K - 1
-    base = 4 if requested is None else max(1, int(requested))
-    g = np.gcd(8, n * spec.R)
-    step = 8 // g
-    g2 = np.gcd(8, n * spec.W)
-    step = int(np.lcm(step, 8 // g2))
-    return -(-base // step) * step
+    step = _chunk_step(spec)
+    if requested is not None:
+        return -(-max(1, int(requested)) // step) * step
+    chunks = -(-4 // step) * step
+    while chunks > step and \
+            _stack_est(spec, chunks * n, LANE_BATCH) > _VMEM_STACK_BUDGET:
+        chunks -= step
+    return chunks
 
 
 def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
