@@ -162,3 +162,30 @@ def test_pick_chunks_alignment():
             assert (c * n * spec.W) % 8 == 0
             if req:
                 assert c >= req
+
+
+def test_stack_model_fallback():
+    """Specs whose minimum-aligned geometry overflows the scoped-VMEM
+    stack model (the fuzzer-caught K=11 R=1/3 case: S=1024, W=32,
+    TB floor 40 -> 18.6 MiB measured) are rejected by supports() and
+    the decoder falls back to the lane kernel cleanly."""
+    K = 11
+    G = tuple((1 | (1 << (K - 1)) | 0b0101010100) + 2 * i for i in range(3))
+    code = CodeSpec(name="fuzz-oom K=11 R=1/3", K=K, G=G)
+    spec = jax_core.make_static_spec(
+        code, get_decode_config(DecodeType.SOFT8, code.R))
+    assert not rotated_pallas.supports(spec)
+    est = rotated_pallas._stack_est(
+        spec, rotated_pallas._chunk_step(spec) * (K - 1),
+        rotated_pallas.LANE_BATCH)
+    assert est > rotated_pallas._VMEM_STACK_BUDGET
+    dp = ViterbiDecoder(code, "SOFT8", backend="pallas")
+    assert not dp._rotated and not dp._plane
+    dx = ViterbiDecoder(code, "SOFT8", backend="xla")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    B, T = 1, 2 * (K - 1)
+    syms = _syms(code, config, B, T, seed=1)
+    total_bits = T - (K - 1)
+    bp, ep, ap = dp.decode(syms, total_bits)
+    bx, ex, ax = dx.decode(syms, total_bits)
+    assert np.array_equal(np.asarray(bp), np.asarray(bx))
