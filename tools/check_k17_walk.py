@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Hardware exercise for the very-wide-plane walk G-backoff (K >= 17).
+
+At K=17 the per-frame decision plane is WRr=16 word-rows: the walk
+kernel's default frame group blows its VMEM slab budget and
+walk_plane_frames halves G until the slab fits
+(bigstate_pallas.py:677-685).  This path landed after the round-2
+tunnel outage and had only interpret-mode coverage; this tool drives it
+compiled on the real chip end-to-end (encode -> mild noise -> plane ACS
+-> G-backoff walk) and requires the exact decode to invert the encoder,
+plus one frame checked bit-for-bit against the NumPy oracle.
+
+Usage: python tools/check_k17_walk.py [--cpu]
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def main():
+    apply_platform()
+    import jax
+    from viterbidecodercpp_tpu import (CodeSpec, DecodeType, ViterbiDecoder,
+                                       get_decode_config)
+    from viterbidecodercpp_tpu.ops import bigstate_pallas as bp
+    from viterbidecodercpp_tpu.ops import numpy_ref as ref
+
+    K = 17
+    code = CodeSpec(name="wide K=17 R=1/2",
+                    K=K, G=(0o213313, 0o206565))
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    n = K - 1
+    WRr = (code.num_states // bp.COLS) // 32
+    assert WRr >= 16, "not the wide-plane class"
+    # confirm the default frame group cannot hold a slab (the backoff
+    # this tool exists to exercise)
+    G0 = bp.WALK_FRAMES_PER_GROUP
+    assert bp._pick_walk_tb(256, G0, WRr) < bp.WALK_SLAB, \
+        "walk fits at the default G - widen the code"
+
+    B, data_bits = 8, 240
+    T = data_bits + n
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 2, (B, data_bits)).astype(np.uint8)
+    hi, lo = config.soft_decision_high, config.soft_decision_low
+    syms = np.stack([
+        np.where(ref.encode_bits(code, d).astype(bool), hi, lo)
+        for d in data]).astype(np.int32)                    # (B, T*R)
+    noisy = np.clip(syms + rng.randint(-1, 2, syms.shape), lo, hi)
+
+    dec = ViterbiDecoder(code, "SOFT8", backend="pallas")
+    assert dec._plane, "K=17 must route the plane kernel"
+    bits, _, _ = dec.decode(noisy, data_bits)
+    bits = np.asarray(bits)
+    bad = int((bits != data).sum())
+    print(f"K=17 exact-decode check: {bad} / {data.size} bit errors "
+          f"(backend={jax.default_backend()}, WRr={WRr})")
+    assert bad == 0, "K=17 decode failed to invert the encoder"
+
+    # one frame against the full oracle (ACS decisions + traceback)
+    m, d_or, acc = ref.acs_run(code, config, noisy[0])
+    want = ref.traceback(code, d_or, data_bits)
+    assert np.array_equal(bits[0], want), "oracle mismatch on frame 0"
+    print("K=17 G-backoff walk: PASS (exact round-trip + oracle frame)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-4 TPU queue, v5: the closing evidence run, launched after the
+# sharded artifacts (queue v4) drain and all round-4 code is committed.
+#   1. soak       - compiled differential soak across random (K, R)
+#                   codes (covers the rotated kernel's supports() range
+#                   with compiled Mosaic, incl. the stack-model paths)
+#   2. k17_walk   - the wide-plane walk G-backoff exercised on hardware
+#                   (PERF.md's one remaining "untested on hardware")
+#   3. ci_tpu     - tools/ci_check.sh --tpu until green at CLEAN HEAD
+#                   (many attempts: its internal fail-fast probe loses
+#                   an attempt to every tunnel flap)
+#   4. bench      - final headline bench.py at HEAD
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+wait_up() {
+    until probe; do
+        echo "[queue5] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+run() { # name attempts timeout cmd...
+    name=$1; tries=$2; tmo=$3; shift 3
+    for a in $(seq 1 "$tries"); do
+        wait_up
+        log="tpu_logs/${STAMP}_${name}_a${a}.log"
+        echo "[queue5] === $name attempt $a/$tries ($(date -u +%H:%M:%SZ))"
+        if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+            echo "[queue5] $name OK (attempt $a)"
+            tail -3 "$log" | sed 's/^/    /'
+            return 0
+        fi
+        echo "[queue5] $name attempt $a FAILED (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    echo "[queue5] $name EXHAUSTED"
+    return 1
+}
+
+run soak     3 3600 python tools/soak_tpu.py 12 4
+run k17_walk 3 3600 python tools/check_k17_walk.py
+run ci_tpu   8 7200 sh tools/ci_check.sh --tpu
+run bench    3 2400 python bench.py
+echo "[queue5] done $(date -u +%H:%M:%SZ)"
