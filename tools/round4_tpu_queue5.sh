@@ -45,6 +45,11 @@ run() { # name attempts timeout cmd...
 
 run soak     3 3600 python tools/soak_tpu.py 12 4
 run k17_walk 3 3600 python tools/check_k17_walk.py
+# geometry-matched walk numbers: reconcile bench_walk (B=256 T=1024,
+# 6.27e7 bit/s) with run_benchmark's chainback column (B=512 T=2048,
+# 3.6e8) - the walk is per-row-latency-bound, so bits/s scales with
+# frames per row; PERF.md records both points
+run walk_b512 3 2400 python tools/bench_walk.py --batch 512 --steps 2048
 run ci_tpu   8 7200 sh tools/ci_check.sh --tpu
 run bench    3 2400 python bench.py
 echo "[queue5] done $(date -u +%H:%M:%SZ)"
