@@ -189,3 +189,27 @@ def test_stack_model_fallback():
     bp, ep, ap = dp.decode(syms, total_bits)
     bx, ex, ax = dx.decode(syms, total_bits)
     assert np.array_equal(np.asarray(bp), np.asarray(bx))
+
+
+@pytest.mark.parametrize("name,mode", [("Voyager", "SOFT8"),
+                                       ("CDMA IS-95A", "SOFT16"),
+                                       ("DAB Radio", "HARD8")])
+def test_fast_bm_bit_exact(name, mode):
+    """Signed-correlation branch metrics (fast_bm) are bit-identical to
+    the abs-diff path on every output (metrics, decisions via walk,
+    renorm acc)."""
+    code = get_code(name)
+    config = get_decode_config(DecodeType(mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    rng = np.random.RandomState(11)
+    B, T = 2, 3 * (code.K - 1) + 5
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    a = rotated_pallas.acs_rotated(spec, m0, syms, interpret=True,
+                                   fast_bm=False)
+    b = rotated_pallas.acs_rotated(spec, m0, syms, interpret=True,
+                                   fast_bm=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Ablate rotated-kernel variants (fast_bm on/off, chunk counts) with
+the PERF.md marginal-timing protocol: carry-chained reps inside one
+jit, device_get sink, median marginal between two rep counts.
+
+Usage: python tools/bench_rotated_variants.py [--code NAME] [--mode M]
+           [--batch B] [--steps T] [--cpu]
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import argparse
+import time
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def main():
+    apply_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--code", default="Voyager")
+    ap.add_argument("--mode", default="SOFT8")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+    from viterbidecodercpp_tpu.ops import jax_core, rotated_pallas
+
+    code = get_code(args.code)
+    config = get_decode_config(DecodeType(args.mode), code.R)
+    spec = jax_core.make_static_spec(code, config)
+    B, T = args.batch, args.steps
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(config.soft_decision_low,
+                                   config.soft_decision_high + 1,
+                                   (B, T, code.R)).astype(np.int32))
+    m0 = jax_core.initial_metrics(spec, B)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def make(reps, **kw):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                m, sink = carry
+                m, packed, acc = rotated_pallas.acs_rotated(
+                    spec, m, syms, interpret=not on_tpu, **kw)
+                return m, sink + packed.reshape(-1)[0] + acc.sum()
+            return jax.lax.fori_loop(0, reps, body,
+                                     (m0, jnp.zeros((), jnp.int32)))
+        return run
+
+    def marginal(**kw):
+        n1, n2 = (8, 32) if on_tpu else (1, 2)
+        f1, f2 = make(n1, **kw), make(n2, **kw)
+        jax.device_get(f1()[1]); jax.device_get(f2()[1])
+        vals = []
+        for _ in range(5 if on_tpu else 1):
+            t0 = time.perf_counter(); jax.device_get(f1()[1])
+            t1 = time.perf_counter(); jax.device_get(f2()[1])
+            t2 = time.perf_counter()
+            vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return float(np.median(vals))
+
+    arms = [("absdiff (default)", dict(fast_bm=False)),
+            ("fast_bm", dict(fast_bm=True)),
+            ("fast_bm chunks=8", dict(fast_bm=True, chunks=8)),
+            ("absdiff chunks=8", dict(fast_bm=False, chunks=8))]
+    print(f"{code.name} {args.mode} B={B} T={T} "
+          f"(update only, marginal protocol)")
+    for name, kw in arms:
+        dt = marginal(**kw)
+        rate = B * T * code.R / dt
+        print(f"{name:20s} {dt*1e3:8.3f} ms/iter  {rate/1e6:9.1f} Msym/s")
+
+
+if __name__ == "__main__":
+    main()

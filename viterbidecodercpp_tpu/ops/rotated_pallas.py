@@ -153,7 +153,7 @@ def _pick_chunks(spec: StaticSpec, requested: Optional[int]) -> int:
 
 
 def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
-                 interpret: bool):
+                 interpret: bool, fast_bm: bool):
     n = spec.K - 1
     S, R, W = spec.S, spec.R, spec.W
     TB = chunks * n
@@ -161,6 +161,7 @@ def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
     saturating = spec.saturating
     thr = spec.renorm_threshold
     max_error = spec.max_error
+    RA = max_error // 2               # R * amp when the identity holds
 
     def roll(x, shift, axis):
         shift %= x.shape[axis]
@@ -186,6 +187,10 @@ def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
         # only compiled when n*W happened to be a multiple of 8 (K=9)
         # and failed Mosaic's alignment prover at K=7 (n*W = 12).
         syms = sym_ref[...]                           # (TB * R, B)
+        if fast_bm:
+            # Constant per-slot sign column ({-A, +A} branch values in
+            # every symmetric regime), materialised once per block.
+            sgn = jnp.where(bt_ref[...] > 0, 1, -1)   # (n * R * S, 1)
         words = []
         for c in range(chunks):
             for phi in range(n):
@@ -200,15 +205,26 @@ def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
                 partner = jnp.where(maskj, cv, bv)
                 boff = (phi * R) * S
                 srow = t_local * R
-                bm = jnp.abs(bt_ref[boff:boff + S, :] -
-                             syms[srow:srow + 1, :])
-                for r in range(1, R):
-                    bm = bm + jnp.abs(
-                        bt_ref[boff + r * S:boff + (r + 1) * S, :] -
-                        syms[srow + r:srow + r + 1, :])
-                ibm = max_error - bm
-                e_self = m + bm
-                e_part = partner + ibm
+                if fast_bm:
+                    # |bt - sym| == A - sign(bt)*sym for in-range
+                    # symbols, so bm = R*A - d and ibm = R*A + d with
+                    # d the signed correlation (the lane/plane kernels'
+                    # fast_bm on the rotated geometry).
+                    d = sgn[boff:boff + S, :] * syms[srow:srow + 1, :]
+                    for r in range(1, R):
+                        d = d + (sgn[boff + r * S:boff + (r + 1) * S, :] *
+                                 syms[srow + r:srow + r + 1, :])
+                    e_self = (m + RA) - d
+                    e_part = (partner + RA) + d
+                else:
+                    bm = jnp.abs(bt_ref[boff:boff + S, :] -
+                                 syms[srow:srow + 1, :])
+                    for r in range(1, R):
+                        bm = bm + jnp.abs(
+                            bt_ref[boff + r * S:boff + (r + 1) * S, :] -
+                            syms[srow + r:srow + r + 1, :])
+                    e_self = m + bm
+                    e_part = partner + (max_error - bm)
                 if saturating:
                     e_self = jnp.minimum(e_self, cap)
                     e_part = jnp.minimum(e_part, cap)
@@ -240,15 +256,17 @@ def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
                         symbols: jnp.ndarray, chunks: int,
-                        total_steps: int, interpret: bool
+                        total_steps: int, interpret: bool,
+                        fast_bm: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """metrics: (S, B) i32 SLOT layout (phase 0 == state order);
     symbols: (T_pad * R, B) i32 column rows, T_pad % (chunks * n) == 0.
     Returns (metrics (S, B) slot layout at phase T_pad % n, packed
-    slot-order (T_pad * W, B), acc (1, B))."""
+    slot-order (T_pad * W, B), acc (1, B)).  ``fast_bm`` requires the
+    caller to have checked the symmetric-amplitude identity."""
     n = spec.K - 1
     S, B = metrics.shape
     W = spec.W
@@ -256,7 +274,7 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
     T_pad = symbols.shape[0] // spec.R
     assert T_pad % TB == 0
     bt = jnp.asarray(_slot_bt(spec))
-    kernel = _make_kernel(spec, chunks, total_steps, interpret)
+    kernel = _make_kernel(spec, chunks, total_steps, interpret, fast_bm)
     # Batch rides the OUTER grid dim (blocks are independent columns);
     # time sweeps the inner dim so the metric/acc carry blocks stay
     # resident per batch block.
@@ -285,7 +303,8 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
 
 def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
                 symbols: jnp.ndarray, *, chunks: Optional[int] = None,
-                interpret: Optional[bool] = None
+                interpret: Optional[bool] = None,
+                fast_bm: Optional[bool] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`acs_pallas.acs_pallas` on the
     mid-size state counts (same contract, slot-order decision rows):
@@ -301,13 +320,24 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     phase bookkeeping.  Decision row i of this call is slot-rotated by
     (i + 1) mod n - the caller records that in DecoderState.row_rots
     exactly as the plane path does, and the slot-order chainback
-    consumes it."""
+    consumes it.
+
+    ``fast_bm`` (default ON where valid): signed-correlation branch
+    metrics — |bt - sym| == A - sign(bt)*sym for the symmetric
+    regimes, saving the per-tap abs-diff.  Bit-exact; auto-disabled
+    when the amplitude identity does not hold (asymmetric soft range
+    or a custom max_error)."""
     n = spec.K - 1
     S, B = metrics.shape
     B2, T, R = symbols.shape
     assert B2 == B and R == spec.R
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    amp = jax_core.symmetric_amplitude(spec)
+    ident_ok = amp is not None and spec.max_error == 2 * spec.R * amp
+    if fast_bm is None:
+        fast_bm = False    # measure-before-default (PERF.md discipline)
+    fast_bm = bool(fast_bm) and ident_ok
     chunks = _pick_chunks(spec, chunks)
     TB = chunks * n
     T_pad = -(-max(T, 1) // TB) * TB
@@ -319,7 +349,7 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
 
     m2, packed, acc = _acs_rotated_padded(spec, m, cols, chunks, T,
-                                          bool(interpret))
+                                          bool(interpret), fast_bm)
     # dead steps (live-masked) leave the metric layout at age T % n
     perm = _rotr(np.arange(S), T % n, n)
     m2 = m2[jnp.asarray(perm), :B]
