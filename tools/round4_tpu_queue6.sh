@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-4 TPU queue, v6: queue5 reordered for a short wall-clock budget.
+# The committed-evidence priority order from VERDICT.md round 3:
+#   1. ci_tpu     - tools/ci_check.sh --tpu until green at CLEAN HEAD
+#                   (writes TPU_MATRIX.md - the top verdict item)
+#   2. k17_walk   - the wide-plane walk G-backoff exercised on hardware
+#                   (PERF.md's one remaining "untested on hardware")
+#   3. bench      - final headline bench.py at HEAD
+#   4. walk_b512  - geometry-matched walk number (reconciles bench_walk
+#                   with run_benchmark's chainback column)
+#   5. soak       - compiled differential soak across random (K, R)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+wait_up() {
+    until probe; do
+        echo "[queue6] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+run() { # name attempts timeout cmd...
+    name=$1; tries=$2; tmo=$3; shift 3
+    for a in $(seq 1 "$tries"); do
+        wait_up
+        log="tpu_logs/${STAMP}_${name}_a${a}.log"
+        echo "[queue6] === $name attempt $a/$tries ($(date -u +%H:%M:%SZ))"
+        if timeout -k 15 "$tmo" "$@" >"$log" 2>&1; then
+            echo "[queue6] $name OK (attempt $a)"
+            tail -3 "$log" | sed 's/^/    /'
+            return 0
+        fi
+        echo "[queue6] $name attempt $a FAILED (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    echo "[queue6] $name EXHAUSTED"
+    return 1
+}
+
+run ci_tpu    3 7200 sh tools/ci_check.sh --tpu
+run k17_walk  2 3600 python tools/check_k17_walk.py
+run bench     2 2400 python bench.py
+run walk_b512 2 2400 python tools/bench_walk.py --batch 512 --steps 2048
+run soak      1 3600 python tools/soak_tpu.py 12 4
+echo "[queue6] done $(date -u +%H:%M:%SZ)"
