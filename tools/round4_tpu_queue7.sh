@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 TPU queue, v7: the persistent TPU_MATRIX gate.  Waits for a
+# sentinel file (touched when queue6 drains) and then retries
+# tools/ci_check.sh --tpu many times: its internal fail-fast probe
+# loses one attempt to every tunnel flap, so attempts must be cheap
+# and numerous (the round-3 lesson, re-learned by queue6's 3-attempt
+# exhaustion on 2026-08-19).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+SENTINEL=${1:-}
+
+if [ -n "$SENTINEL" ]; then
+    until [ -e "$SENTINEL" ]; do sleep 60; done
+fi
+
+probe() {
+    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" >/dev/null 2>&1
+}
+wait_up() {
+    until probe; do
+        echo "[queue7] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        sleep 150
+    done
+}
+
+for a in $(seq 1 12); do
+    wait_up
+    log="tpu_logs/${STAMP}_ci_tpu_a${a}.log"
+    echo "[queue7] === ci_tpu attempt $a/12 ($(date -u +%H:%M:%SZ))"
+    if timeout -k 15 7200 sh tools/ci_check.sh --tpu >"$log" 2>&1; then
+        echo "[queue7] ci_tpu OK (attempt $a)"
+        tail -3 "$log" | sed 's/^/    /'
+        exit 0
+    fi
+    echo "[queue7] ci_tpu attempt $a FAILED (see $log)"
+    tail -3 "$log" | sed 's/^/    /'
+done
+echo "[queue7] ci_tpu EXHAUSTED"
+exit 1
