@@ -319,3 +319,72 @@ def test_ber_point_mesh_data_parallel():
     p3 = ber.measure_point(code, config, 0.0, key=key, mesh=mesh,
                            timeout_seconds=1e9, **kw)
     assert p3.total_bits >= 400_000
+
+
+@needs_mesh
+def test_block_sp_rotated_kernel_voyager_with_noise():
+    """use_pallas on a mid-size code (64 <= S <= 4096) routes the
+    rotated in-place kernel per time-tile: slot-order decision rows
+    walk with per-device rotation schedules streamed through SMEM
+    (chainback_pallas.walk_rows, interpret mode on CPU).  Must match
+    the sequential decoder bit-for-bit on a noisy channel."""
+    from viterbidecodercpp_tpu.ops import rotated_pallas
+
+    code = get_code("Voyager")
+    config = get_decode_config(DecodeType.SOFT16, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert rotated_pallas.supports(spec)
+    ntime = 4
+    mesh = make_mesh((ntime,), ("time",))
+    rng = np.random.RandomState(3)
+    nbytes = 96
+    data = rng.randint(0, 256, nbytes, dtype=np.uint8)
+    syms = ref.encode_bytes(code, data, 127, -127).astype(np.int64)
+    syms = np.clip(syms + rng.randint(-40, 41, syms.shape), -127, 127)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // ntime) * ntime
+    arr = np.zeros((1, pad_T, code.R), np.int32)
+    arr[0, :T] = syms.reshape(T, code.R)
+
+    seq_bits, _, _ = ref.viterbi_decode(code, config, syms, total_bits)
+    bits, mism = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                           overlap=128, total_rows=T,
+                                           use_pallas=True)
+    assert int(mism) == 0
+    got = np.asarray(bits)[0, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(got, seq_bits)
+
+
+@needs_mesh
+def test_block_sp_rotated_kernel_k9_2d_mesh():
+    """K=9 (S=256, rotated class) time-SP composed with frame-DP on a
+    2-D data x time mesh, noisy channel, vs the sequential decode."""
+    from viterbidecodercpp_tpu.ops import rotated_pallas
+
+    code = get_code("CDMA IS-95A")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    spec = jax_core.make_static_spec(code, config)
+    assert rotated_pallas.supports(spec)
+    mesh = make_mesh((2, 4), ("data", "time"))
+    rng = np.random.RandomState(11)
+    B, nbytes = 4, 64
+    data = rng.randint(0, 256, (B, nbytes), dtype=np.uint8)
+    total_bits = nbytes * 8
+    T = total_bits + code.K - 1
+    pad_T = -(-T // 4) * 4
+    arr = np.zeros((B, pad_T, code.R), np.int32)
+    seq = np.zeros((B, total_bits), np.uint8)
+    hi, lo = config.soft_decision_high, config.soft_decision_low
+    for b in range(B):
+        syms = ref.encode_bytes(code, data[b], hi, lo).astype(np.int64)
+        syms = np.clip(syms + rng.randint(-1, 2, syms.shape), lo, hi)
+        arr[b, :T] = syms.reshape(T, code.R)
+        seq[b], _, _ = ref.viterbi_decode(code, config, syms, total_bits)
+
+    bits, mism = block_sp.decode_stream_sp(spec, mesh, jnp.asarray(arr),
+                                           overlap=128, total_rows=T,
+                                           use_pallas=True)
+    assert int(mism) == 0
+    got = np.asarray(bits)[:, code.K - 1:code.K - 1 + total_bits]
+    np.testing.assert_array_equal(got, seq)

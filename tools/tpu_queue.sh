@@ -1,0 +1,102 @@
+#!/bin/bash
+# Parameterised TPU work queue: run each given stage (a shell command)
+# to completion with per-stage retries, gated on a cheap tunnel probe.
+#
+#   tools/tpu_queue.sh [-a ATTEMPTS] [-t STAGE_TIMEOUT_S] [-w WAIT_BUDGET]
+#                      "CMD1" ["CMD2" ...]
+#
+# Stages run in order; a stage is retried up to ATTEMPTS times (default
+# 12), each attempt preceded by a probe-wait.  Exit code: 0 iff every
+# stage passed (queue6 always exited 0 - advisor finding, fixed here).
+#
+# Consolidates the round-4 one-shot queue scripts (round4_tpu_queue
+# v1-v7); their lessons, kept:
+#   * per-stage retries beat whole-queue retries: a tunnel flap costs
+#     one cheap attempt, not the queue (v3).
+#   * the probe must be cheap and the retry count high - the gate's own
+#     fail-fast probe loses a full attempt to every flap (v6 exhausted
+#     3 attempts on 2026-08-19).
+#   * probe stderr is surfaced on the first failures so a broken python
+#     env is distinguishable from a down tunnel (advisor finding).
+#   * the probe wait is budgeted (default 40 polls ~= 100 min), not
+#     infinite (advisor finding).
+#   * co-running CPU-heavy work starves the probe's jax import past its
+#     timeout - the round-5 "tunnel down" flaps were local CPU
+#     contention, not the tunnel.  Keep the queue alone on the host.
+#   * THE round-4 blocker, root-caused 2026-08-20: a detached process
+#     (nohup/setsid/&) can import jax and see the device, but its
+#     first dispatch through the axon tunnel HANGS forever; only
+#     foreground processes (or the agent harness's managed background
+#     tasks) get tunnel service.  Four rounds of gate attempts died on
+#     this.  Do NOT launch this script with nohup; run it in the
+#     foreground of a managed shell.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_logs .jax_cache
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+
+ATTEMPTS=12
+STAGE_TIMEOUT=7200
+WAIT_BUDGET=40
+while getopts "a:t:w:" opt; do
+    case $opt in
+        a) ATTEMPTS=$OPTARG ;;
+        t) STAGE_TIMEOUT=$OPTARG ;;
+        w) WAIT_BUDGET=$OPTARG ;;
+        *) exit 2 ;;
+    esac
+done
+shift $((OPTIND - 1))
+[ $# -ge 1 ] || { echo "usage: tpu_queue.sh [-a N] [-t S] [-w N] CMD..."; exit 2; }
+
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+
+probe() {
+    timeout -k 10 90 python -c \
+        "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" \
+        2>"$1"
+}
+wait_up() {
+    local polls=0
+    until probe tpu_logs/probe_err.log; do
+        polls=$((polls + 1))
+        if [ "$polls" -ge "$WAIT_BUDGET" ]; then
+            echo "[queue] probe budget exhausted ($WAIT_BUDGET polls)"
+            return 1
+        fi
+        if [ "$polls" -le 2 ]; then
+            echo "[queue] probe failed ($(date -u +%H:%M:%SZ)); stderr:"
+            tail -3 tpu_logs/probe_err.log | sed 's/^/    /'
+        else
+            echo "[queue] tunnel down ($(date -u +%H:%M:%SZ)); retry in 150 s"
+        fi
+        sleep 150
+    done
+    return 0
+}
+
+fail=0
+si=0
+for cmd in "$@"; do
+    si=$((si + 1))
+    ok=0
+    for a in $(seq 1 "$ATTEMPTS"); do
+        wait_up || break
+        log="tpu_logs/${STAMP}_stage${si}_a${a}.log"
+        echo "[queue] === stage $si/$# attempt $a/$ATTEMPTS ($(date -u +%H:%M:%SZ)): $cmd"
+        if timeout -k 15 "$STAGE_TIMEOUT" bash -c "$cmd" >"$log" 2>&1; then
+            echo "[queue] stage $si OK (attempt $a)"
+            tail -3 "$log" | sed 's/^/    /'
+            ok=1
+            break
+        fi
+        echo "[queue] stage $si attempt $a FAILED (see $log)"
+        tail -3 "$log" | sed 's/^/    /'
+    done
+    if [ "$ok" -ne 1 ]; then
+        echo "[queue] stage $si EXHAUSTED: $cmd"
+        fail=1
+    fi
+done
+[ "$fail" -eq 0 ] && echo "[queue] ALL STAGES GREEN" || echo "[queue] FAILURES PRESENT"
+exit $fail

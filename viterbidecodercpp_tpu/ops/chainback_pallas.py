@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import jax_core
 from .jax_core import StaticSpec
 
-__all__ = ["chainback_pallas"]
+__all__ = ["chainback_pallas", "walk_rows"]
 
 CHUNK = 8          # rows per aligned load/store group
 TIME_BLOCK = 256   # default rows per grid step
@@ -58,17 +58,19 @@ def _select_word(words, widx, W):
 
 
 def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
-                 time_block: int, slot_order: bool, streamed_rots: bool):
+                 time_block: int, slot_order: bool, streamed_rots: bool,
+                 streamed_valid: bool = False):
     W = spec.W
     Kb = spec.K - 1
     smask = spec.S - 1
 
     def kernel(*refs):
-        if streamed_rots:
-            packed_ref, end_ref, rots_ref, bits_ref, state_scr = refs
-        else:
-            packed_ref, end_ref, bits_ref, state_scr = refs
-            rots_ref = None
+        refs = list(refs)
+        packed_ref = refs.pop(0)
+        end_ref = refs.pop(0)
+        rots_ref = refs.pop(0) if streamed_rots else None
+        valid_ref = refs.pop(0) if streamed_valid else None
+        bits_ref, state_scr = refs
         block = pl.program_id(0)
 
         @pl.when(block == 0)
@@ -88,6 +90,11 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
                 t_local = CHUNK - 1 - i
                 t = row_base + goff * CHUNK + t_local
                 live = t < total_rows
+                if streamed_valid:
+                    # dynamic per-row mask (block_sp stream padding on
+                    # the last time-SP tile: the row count past the
+                    # true end is per-device) on top of the static one
+                    live = jnp.logical_and(live, valid_ref[t] != 0)
                 rows = slab[t_local * W:(t_local + 1) * W, :]
                 if slot_order:
                     # Rotated in-place ACS layouts (the plane kernel's
@@ -123,22 +130,25 @@ def _make_kernel(spec: StaticSpec, total_rows: int, num_blocks: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
                       end_state: jnp.ndarray, rots: Optional[jnp.ndarray],
+                      valid: Optional[jnp.ndarray],
                       total_rows: int, interpret: bool, time_block: int,
                       slot_order: bool = False) -> jnp.ndarray:
     """packed: (T_pad * W, B) int32 with T_pad % time_block == 0;
     end_state: (1, B); rots: None or (T_pad,) int32 per-row walk
-    rotations (slot_order only). Returns (T_pad, B) int32 path bits."""
+    rotations (slot_order only); valid: None or (T_pad,) int32 dynamic
+    row mask. Returns (T_pad, B) int32 path bits."""
     W = spec.W
     TW, B = packed.shape
     T_pad = TW // W
     num_blocks = T_pad // time_block
     streamed = rots is not None
+    streamed_valid = valid is not None
 
     kernel = _make_kernel(spec, total_rows, num_blocks, time_block,
-                          slot_order, streamed)
+                          slot_order, streamed, streamed_valid)
     in_specs = [
         pl.BlockSpec(
             (time_block * W, B),
@@ -155,6 +165,10 @@ def _chainback_padded(spec: StaticSpec, packed: jnp.ndarray,
         in_specs.append(pl.BlockSpec((T_pad,), lambda i: (0,),
                                      memory_space=pltpu.SMEM))
         args.append(rots)
+    if streamed_valid:
+        in_specs.append(pl.BlockSpec((T_pad,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(valid)
     return pl.pallas_call(
         kernel,
         out_shape=jax_core.sds_like(packed, (T_pad, B), jnp.int32),
@@ -220,8 +234,64 @@ def chainback_pallas(spec: StaticSpec, packed: jnp.ndarray,
         r = rots.astype(jnp.int32)[:rows_needed]
         r = jnp.pad(r, (0, T_pad - rows_needed))
 
-    bits = _chainback_padded(spec, p, ends, r, rows_needed,
+    bits = _chainback_padded(spec, p, ends, r, None, rows_needed,
                              bool(interpret), time_block,
                              bool(slot_order))
     out = jnp.swapaxes(bits[Kb:rows_needed, :B], 0, 1)
     return out.astype(jnp.uint8)
+
+
+def walk_rows(spec: StaticSpec, packed: jnp.ndarray,
+              start_state: jnp.ndarray, *,
+              slot_order: bool = False,
+              rots: Optional[jnp.ndarray] = None,
+              valid: Optional[jnp.ndarray] = None,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Raw per-row traceback walk (the lane-resident analogue of
+    :func:`bigstate_pallas.walk_plane_frames`).
+
+    packed: (N, W, B) int32 decision rows; start_state: (B,) int32.
+    Returns (N, B) uint8 per-row path bits - row t carries data bit
+    t-(K-1) (viterbi_decoder_core.h:223-235); no data-bit slicing is
+    applied, so callers that stitch tiles (parallel/block_sp) keep the
+    whole row range including the warm-down halo.
+
+    ``rots``/``valid`` may be traced arrays: both stream through SMEM,
+    so per-device values under ``shard_map`` (time-SP tiles whose row
+    ages and padding differ by device index) reuse one compile.  A row
+    with ``valid == 0`` emits its bit but leaves the walk state
+    untouched (stream padding past the true end), matching
+    block_sp._path_bits_scan.
+    """
+    N, W, B = packed.shape
+    assert W == spec.W
+    if jax_core.needs_big_state(spec):
+        raise ValueError("walk_rows is lane-resident only; big-state "
+                         "codes use bigstate_pallas.walk_plane_frames")
+    if rots is not None and not slot_order:
+        raise ValueError("rots is only meaningful with slot_order=True")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B_pad = -(-B // 128) * 128
+    time_block = _auto_time_block(W, B_pad)
+    N_pad = -(-N // time_block) * time_block
+    p = packed.astype(jnp.int32)
+    p = jnp.pad(p, ((0, N_pad - N), (0, 0), (0, B_pad - B)))
+    p = p.reshape(N_pad * W, B_pad)
+    ends = jnp.pad(start_state.astype(jnp.int32)[None, :],
+                   ((0, 0), (0, B_pad - B)))
+    r = None
+    if slot_order:
+        # the streamed form is the general one (rots may be traced);
+        # default to the one-shot global schedule
+        if rots is None:
+            rots = ((jnp.arange(N) + 1) % (spec.K - 1))
+        r = jnp.pad(rots.astype(jnp.int32), (0, N_pad - N))
+    v = None
+    if valid is not None:
+        v = jnp.pad(valid.astype(jnp.int32), (0, N_pad - N))
+
+    bits = _chainback_padded(spec, p, ends, r, v, N, bool(interpret),
+                             time_block, bool(slot_order))
+    return bits[:N, :B].astype(jnp.uint8)

@@ -163,11 +163,16 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
             diff = jax.lax.psum(diff, ax)
         return diff
 
+    plane = rotated = False
     if use_pallas:
-        from ..ops import bigstate_pallas
+        from ..ops import bigstate_pallas, rotated_pallas
         plane = bigstate_pallas.supports(spec)       # implies big-state
-    else:
-        plane = False
+        # mid-size state counts ride the rotated in-place kernel (the
+        # production single-chip default, ~2x the lane kernel on the
+        # K=7-11 classes); its slot-order rows walk with per-device
+        # rotation schedules streamed through SMEM, exactly like the
+        # plane path
+        rotated = (not plane) and rotated_pallas.supports(spec)
 
     def shard_fn_plane(sym_blk):
         # Big-state tiles run the plane kernel.  Every device uses LOCAL
@@ -227,6 +232,61 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         mism = _halo_mismatches(bits[:, :J], halo_pred[:, :J], idx)
         return bits, mism
 
+    def shard_fn_rotated(sym_blk):
+        # Mid-size tiles run the rotated in-place kernel.  Same device
+        # topology as shard_fn_plane: every device runs the kernel's
+        # one-shot schedule from local age 0 over its extended tile, so
+        # ext row e carries walk rotation (e+1) mod n; own rows start at
+        # local row O on interior devices and 0 on device 0 (which
+        # decodes straight from the reset metrics - see shard_fn_plane),
+        # and the left-shipped halo rows always come from an interior
+        # neighbour's first O own rows.  The per-device rotation
+        # schedules and the last tile's padding mask are traced arrays
+        # streamed through the walk kernel's SMEM (chainback_pallas.
+        # walk_rows), so one compile serves every device index.
+        from ..ops import chainback_pallas, rotated_pallas
+        n = spec.K - 1
+        idx = jax.lax.axis_index("time")
+        Bl = sym_blk.shape[0]
+
+        halo_syms = jax.lax.ppermute(sym_blk[:, L - O:, :], "time",
+                                     right_perm)
+        reset_m = pvary(jax_core.initial_metrics(spec, Bl), vary_axes)
+        uniform_m = jnp.full_like(reset_m, spec.init_other)
+
+        def acs_first():
+            _, pk, _ = rotated_pallas.acs_rotated(spec, reset_m, sym_blk)
+            return jnp.pad(pk, ((O, 0), (0, 0), (0, 0)))
+
+        def acs_interior():
+            ext = jnp.concatenate([halo_syms, sym_blk], axis=1)
+            _, pk, _ = rotated_pallas.acs_rotated(spec, uniform_m, ext)
+            return pk
+
+        packed_ext = jax.lax.cond(idx == 0, acs_first, acs_interior)
+        packed = packed_ext[O:]                  # (L, W, B) own rows
+
+        halo_dec = jax.lax.ppermute(packed[:O], "time", left_perm)
+        ext_dec = jnp.concatenate([packed, halo_dec], axis=0)  # (L+O, W, B)
+        base = jnp.where(idx == 0, 0, O)
+        rots_own = ((base + jnp.arange(L) + 1) % n).astype(jnp.int32)
+        rots_halo = jnp.asarray(((O + np.arange(O) + 1) % n).astype(
+            np.int32))
+        rots_ext = jnp.concatenate([rots_own, rots_halo])
+        start_interior = pvary(jnp.zeros(Bl, jnp.int32), vary_axes)
+        start_last = pvary(jnp.full((Bl,), end_state, jnp.int32), vary_axes)
+        walk_full = chainback_pallas.walk_rows(
+            spec, ext_dec, start_interior, slot_order=True, rots=rots_ext)
+        bits_interior = walk_full[:L]
+        halo_pred = walk_full[L:]                # (O, B) duplicated bits
+        grow = idx * L + jax.lax.iota(jnp.int32, L)
+        bits_last = chainback_pallas.walk_rows(
+            spec, packed, start_last, slot_order=True, rots=rots_own,
+            valid=grow < total_rows)
+        bits = jnp.where(idx == ntime - 1, bits_last, bits_interior)
+        mism = _halo_mismatches(bits[:J], halo_pred[:J], idx)
+        return jnp.swapaxes(bits, 0, 1), mism    # (B, L), ()
+
     def shard_fn(sym_blk):
         # sym_blk: (B, L, R) - this device's tile.
         idx = jax.lax.axis_index("time")
@@ -284,7 +344,9 @@ def decode_stream_sp(spec: StaticSpec, mesh: Mesh, symbols: jnp.ndarray,
         # see frame_dp: interpret-mode pallas under shard_map trips the
         # vma check in the Pallas interpreter's state discharge
         kwargs["check_vma"] = False
-    fn = shard_map(shard_fn_plane if plane else shard_fn, mesh=mesh,
+    fn = shard_map(shard_fn_plane if plane
+                   else shard_fn_rotated if rotated else shard_fn,
+                   mesh=mesh,
                    in_specs=(P(data_axis, "time", None),),
                    out_specs=(P(data_axis, "time"), P()),
                    **kwargs)
