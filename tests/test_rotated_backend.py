@@ -164,23 +164,27 @@ def test_pick_chunks_alignment():
                 assert c >= req
 
 
-def test_stack_model_fallback():
-    """Specs whose minimum-aligned geometry overflows the scoped-VMEM
-    stack model (the fuzzer-caught K=11 R=1/3 case: S=1024, W=32,
-    TB floor 40 -> 18.6 MiB measured) are rejected by supports() and
-    the decoder falls back to the lane kernel cleanly."""
+def test_raised_limit_admits_k11():
+    """The round-4 "stranded" class (stack over the 16 MiB default,
+    e.g. K=11 R=1/3: S=1024, W=32, measured 19.8 MiB on hardware) is
+    now admitted by raising Mosaic's vmem ceiling: supports() is True,
+    _pick_vmem_limit returns a raised byte count, the decoder routes
+    the rotated kernel, and the decode is bit-identical to XLA."""
     K = 11
     G = tuple((1 | (1 << (K - 1)) | 0b0101010100) + 2 * i for i in range(3))
-    code = CodeSpec(name="fuzz-oom K=11 R=1/3", K=K, G=G)
+    code = CodeSpec(name="raised-limit K=11 R=1/3", K=K, G=G)
     spec = jax_core.make_static_spec(
         code, get_decode_config(DecodeType.SOFT8, code.R))
-    assert not rotated_pallas.supports(spec)
-    est = rotated_pallas._stack_est(
-        spec, rotated_pallas._chunk_step(spec) * (K - 1),
-        rotated_pallas.LANE_BATCH)
-    assert est > rotated_pallas._VMEM_STACK_BUDGET
+    chunks = rotated_pallas._pick_chunks(spec, None)
+    est = rotated_pallas._stack_est(spec, chunks * (K - 1),
+                                    rotated_pallas.LANE_BATCH)
+    assert est > rotated_pallas._VMEM_STACK_BUDGET   # default strands it
+    limit = rotated_pallas._pick_vmem_limit(spec, chunks)
+    assert isinstance(limit, int)
+    assert 16 * 1024 * 1024 < limit <= rotated_pallas._VMEM_LIMIT_CAP
+    assert rotated_pallas.supports(spec)
     dp = ViterbiDecoder(code, "SOFT8", backend="pallas")
-    assert not dp._rotated and not dp._plane
+    assert dp._rotated and not dp._plane
     dx = ViterbiDecoder(code, "SOFT8", backend="xla")
     config = get_decode_config(DecodeType.SOFT8, code.R)
     B, T = 1, 2 * (K - 1)
@@ -188,6 +192,33 @@ def test_stack_model_fallback():
     total_bits = T - (K - 1)
     bp, ep, ap = dp.decode(syms, total_bits)
     bx, ex, ax = dx.decode(syms, total_bits)
+    assert np.array_equal(np.asarray(bp), np.asarray(bx))
+    assert np.array_equal(np.asarray(ep), np.asarray(ex))
+    assert np.array_equal(np.asarray(ap), np.asarray(ax))
+
+
+def test_vmem_cap_rejects_heaviest():
+    """Specs whose conservative stack bound exceeds the 100 MiB cap
+    even at a single lane tile (S=4096 at R=6) still fall back to the
+    lane kernel cleanly."""
+    K = 13
+    G = tuple((1 | (1 << (K - 1)) | 0b010101010100) + 2 * i
+              for i in range(6))
+    code = CodeSpec(name="over-cap K=13 R=1/6", K=K, G=G)
+    spec = jax_core.make_static_spec(
+        code, get_decode_config(DecodeType.SOFT8, code.R))
+    chunks = rotated_pallas._pick_chunks(spec, None)
+    assert rotated_pallas._pick_vmem_limit(spec, chunks) is False
+    assert not rotated_pallas.supports(spec)
+    dp = ViterbiDecoder(code, "SOFT8", backend="pallas")
+    assert not dp._rotated and not dp._plane
+    dx = ViterbiDecoder(code, "SOFT8", backend="xla")
+    config = get_decode_config(DecodeType.SOFT8, code.R)
+    B, T = 1, 2 * (K - 1)
+    syms = _syms(code, config, B, T, seed=1)
+    total_bits = T - (K - 1)
+    bp, _, _ = dp.decode(syms, total_bits)
+    bx, _, _ = dx.decode(syms, total_bits)
     assert np.array_equal(np.asarray(bp), np.asarray(bx))
 
 

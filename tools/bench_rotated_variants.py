@@ -70,7 +70,9 @@ def main():
     arms = [("absdiff (default)", dict(fast_bm=False)),
             ("fast_bm", dict(fast_bm=True)),
             ("fast_bm chunks=8", dict(fast_bm=True, chunks=8)),
-            ("absdiff chunks=8", dict(fast_bm=False, chunks=8))]
+            ("absdiff chunks=8", dict(fast_bm=False, chunks=8)),
+            ("fast_bm chunks=16", dict(fast_bm=True, chunks=16)),
+            ("absdiff chunks=16", dict(fast_bm=False, chunks=16))]
     print(f"{code.name} {args.mode} B={B} T={T} "
           f"(update only, marginal protocol)")
     for name, kw in arms:

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Hardware acceptance for the raised-vmem-limit rotated path.
+
+Round 4 stranded every 64 <= S <= 4096 spec whose unrolled-body stack
+overflowed Mosaic's default 16 MiB scoped-vmem ceiling (K=11 R=1/3 and
+up) on the ~2x-slower lane kernel.  Round 5 admits them by requesting
+a raised ``vmem_limit_bytes`` sized from the hardware-probed stack
+bound (tools/probe_rotated_stack.py).  This tool is the acceptance
+run, per spec:
+
+  1. compiled bit-exactness: rotated kernel vs the XLA oracle on the
+     device (metrics + renorm acc + decoded bits through the public
+     ViterbiDecoder surface, one-shot AND ragged chunked),
+  2. marginal-protocol throughput, rotated vs lane kernel, on the
+     spec's production shapes.
+
+Usage: python tools/check_stranded_rotated.py [--cpu] [--quick]
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import argparse
+import time
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def main():
+    apply_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the throughput arms (exactness only)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from viterbidecodercpp_tpu import (CodeSpec, DecodeType, ViterbiDecoder,
+                                       get_decode_config)
+    from viterbidecodercpp_tpu.ops import acs_pallas, jax_core, rotated_pallas
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    K = 11
+    G11 = tuple((1 | (1 << (K - 1)) | 0b0101010100) + 2 * i
+                for i in range(3))
+    c11 = CodeSpec(name="K=11 R=1/3", K=11, G=G11)
+    c13 = CodeSpec(name="K=13 R=1/2", K=13,
+                   G=(0b1010101010101 | (1 << 12) | 1,
+                      0b1110001110001 | (1 << 12) | 1))
+    # (code, bench B, bench T)
+    cases = [(c11, 512, 512), (c13, 128, 256)]
+
+    fails = 0
+    for code, BB_, TT_ in cases:
+        config = get_decode_config(DecodeType.SOFT8, code.R)
+        spec = jax_core.make_static_spec(code, config)
+        chunks = rotated_pallas._pick_chunks(spec, None)
+        limit = rotated_pallas._pick_vmem_limit(spec, chunks)
+        assert isinstance(limit, int), (code.name, limit)
+        print(f"{code.name}: S={spec.S} W={spec.W} chunks={chunks} "
+              f"vmem_limit={limit/2**20:.1f}M")
+
+        # 1. exactness through the public surface
+        dp = ViterbiDecoder(code, "SOFT8", backend="pallas")
+        dx = ViterbiDecoder(code, "SOFT8", backend="xla")
+        assert dp._rotated and not dp._plane
+        rng = np.random.RandomState(5)
+        B, T = 4, 3 * (code.K - 1) + 7
+        syms = rng.randint(config.soft_decision_low,
+                           config.soft_decision_high + 1,
+                           (B, T * code.R)).astype(np.int32)
+        total_bits = T - (code.K - 1)
+        bp, ep, ap_ = dp.decode(syms, total_bits)
+        bx, ex, ax = dx.decode(syms, total_bits)
+        ok = (np.array_equal(np.asarray(bp), np.asarray(bx))
+              and np.array_equal(np.asarray(ep), np.asarray(ex))
+              and np.array_equal(np.asarray(ap_), np.asarray(ax)))
+        print(f"  one-shot decode vs XLA: {'OK' if ok else 'MISMATCH'}")
+        fails += not ok
+        # ragged chunked updates
+        sp, sx = dp.reset(B), dx.reset(B)
+        R = code.R
+        cuts = (0, 7, T // 2, T)
+        for lo, hi in zip(cuts, cuts[1:]):
+            sp = dp.update(sp, syms[:, lo * R:hi * R])
+            sx = dx.update(sx, syms[:, lo * R:hi * R])
+        b2p = dp.chainback(sp, total_bits)
+        b2x = dx.chainback(sx, total_bits)
+        ok2 = np.array_equal(np.asarray(b2p), np.asarray(b2x))
+        print(f"  ragged chunked decode vs XLA: {'OK' if ok2 else 'MISMATCH'}")
+        fails += not ok2
+
+        if args.quick:
+            continue
+
+        # 2. throughput, rotated vs lane, marginal protocol
+        B, T = BB_, TT_
+        symsb = jnp.asarray(rng.randint(config.soft_decision_low,
+                                        config.soft_decision_high + 1,
+                                        (B, T, R)).astype(np.int32))
+        m0 = jax_core.initial_metrics(spec, B)
+
+        def make(reps, fn):
+            @jax.jit
+            def run():
+                def body(i, carry):
+                    m, sink = carry
+                    m, packed, acc = fn(spec, m, symsb,
+                                        interpret=not on_tpu)
+                    return m, sink + packed.reshape(-1)[0] + acc.sum()
+                return jax.lax.fori_loop(0, reps, body,
+                                         (m0, jnp.zeros((), jnp.int32)))
+            return run
+
+        def marginal(fn):
+            n1, n2 = (4, 16) if on_tpu else (1, 2)
+            f1, f2 = make(n1, fn), make(n2, fn)
+            jax.device_get(f1()[1]); jax.device_get(f2()[1])
+            vals = []
+            for _ in range(5 if on_tpu else 1):
+                t0 = time.perf_counter(); jax.device_get(f1()[1])
+                t1 = time.perf_counter(); jax.device_get(f2()[1])
+                t2 = time.perf_counter()
+                vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+            return float(np.median(vals))
+
+        for name, fn in [("rotated", rotated_pallas.acs_rotated),
+                         ("lane", acs_pallas.acs_pallas)]:
+            dt = marginal(fn)
+            rate = B * T * R / dt
+            print(f"  {name:8s} B={B} T={T}: {dt*1e3:8.3f} ms/iter "
+                  f"{rate/1e6:9.1f} Msym/s")
+
+    print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

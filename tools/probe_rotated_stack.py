@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Measure the rotated kernel's REAL Mosaic scoped-vmem stack usage.
+
+Mosaic allocates the statically-unrolled kernel body's live
+temporaries on the scoped-vmem "kernel stack"; when the allocation
+exceeds ``vmem_limit_bytes`` the compile fails with an error that
+names the actual size ("Scoped allocation with size 18.50M and limit
+...").  This tool turns that error into a measuring instrument: it
+compiles each geometry with a deliberately tiny limit (1 MiB) and
+parses the reported size, so the true stack cost is read for ANY
+geometry - including ones that would fit the default 16 MiB limit.
+
+Round-4's model (2.5 * (1 + W/64) bytes per TB*S*BB element, i.e.
+stack linear in the unrolled step count) was fit on two points; a
+round-5 hardware compile showed K=11 R=1/3 at TB=20 costs 18.50M vs
+TB=40's 18.6M - the stack is dominated by a TB-independent per-step
+live set, so the model's shape was wrong.  The sweep here re-fits it.
+
+Usage: python tools/probe_rotated_stack.py   (needs the TPU tunnel;
+outputs one line per geometry: K R S W TB BB -> stack MiB)
+"""
+import re
+import sys
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from viterbidecodercpp_tpu import (CodeSpec, DecodeType, get_code,
+                                   get_decode_config)
+from viterbidecodercpp_tpu.ops import jax_core, rotated_pallas
+
+_SIZE_RE = re.compile(r"allocation with size ([0-9.]+)([MKG])")
+
+
+def probe(spec, chunks, BB, fast_bm=False):
+    """Compile one geometry with a 1 MiB scoped-vmem limit and return
+    the actual stack size in MiB parsed from the OOM diagnostic, or
+    the string 'FITS<1M' / an error tag."""
+    n = spec.K - 1
+    TB = chunks * n
+    B = BB
+    m0 = jax_core.initial_metrics(spec, B)
+    rng = np.random.RandomState(0)
+    syms = jnp.asarray(rng.randint(0, 2, (TB * spec.R, B)).astype(np.int32))
+    try:
+        jax.jit(
+            lambda m, s: rotated_pallas._acs_rotated_padded(
+                spec, m, s, chunks, TB, False, fast_bm, 1024 * 1024, BB)
+        ).lower(m0, syms).compile()
+        return "FITS<1M"
+    except Exception as e:  # noqa: BLE001 - diagnostic text is the data
+        msg = str(e)
+        mt = _SIZE_RE.search(msg)
+        if mt:
+            v = float(mt.group(1))
+            unit = {"K": 1 / 1024, "M": 1.0, "G": 1024.0}[mt.group(2)]
+            return v * unit
+        return "ERR: " + msg.splitlines()[0][:120]
+
+
+def main():
+    cases = []
+    # (name-or-spec, mode, chunks list)
+    reg = [("Voyager", "SOFT8"), ("LTE", "SOFT8"), ("DAB Radio", "SOFT8"),
+           ("CDMA IS-95A", "SOFT8"), ("CDMA 2000", "SOFT8")]
+    for name, mode in reg:
+        code = get_code(name)
+        config = get_decode_config(DecodeType(mode), code.R)
+        spec = jax_core.make_static_spec(code, config)
+        cases.append((name, spec))
+    K = 11
+    G = tuple((1 | (1 << (K - 1)) | 0b0101010100) + 2 * i for i in range(3))
+    code = CodeSpec(name="K=11 R=1/3", K=K, G=G)
+    spec = jax_core.make_static_spec(
+        code, get_decode_config(DecodeType.SOFT8, code.R))
+    cases.append((code.name, spec))
+    K = 13
+    G2 = (0b1010101010101 | (1 << (K - 1)) | 1,
+          0b1110001110001 | (1 << (K - 1)) | 1)
+    code = CodeSpec(name="K=13 R=1/2", K=K, G=G2)
+    spec = jax_core.make_static_spec(
+        code, get_decode_config(DecodeType.SOFT8, code.R))
+    cases.append((code.name, spec))
+
+    print(f"{'code':14s} {'S':>5s} {'R':>2s} {'W':>4s} {'chunks':>6s} "
+          f"{'TB':>4s} {'BB':>5s}  stack")
+    for name, spec in cases:
+        step = rotated_pallas._chunk_step(spec)
+        for chunks in sorted({step, 2 * step, 4 * step}):
+            for BB in (128, 256):
+                if BB > 128 and spec.S > 512:
+                    continue
+                got = probe(spec, chunks, BB)
+                val = f"{got:8.2f}M" if isinstance(got, float) else got
+                print(f"{name:14s} {spec.S:5d} {spec.R} {spec.W:4d} "
+                      f"{chunks:6d} {chunks*(spec.K-1):4d} {BB:5d}  {val}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Roofline for the rotated in-place ACS kernel (ops/rotated_pallas.py).
+
+Two halves:
+
+1. **Empirical VPU ceiling** — a Pallas kernel running a long
+   dependent chain of the SAME op mix the ACS body uses (int32 add,
+   min, compare, select, sublane roll) over an ACS-shaped (S, B) tile,
+   timed with the PERF.md marginal protocol.  This measures achievable
+   int32 element-ops/s on THIS chip through THIS toolchain — clock
+   rates and ALU counts drop out.
+
+2. **Static op count** — the (S, B)-shaped vector-op passes per
+   trellis step of the rotated body, counted from the kernel source
+   (``count_ops``), for each (R, arithmetic, fast_bm) variant.
+
+Predicted ceiling = vpu_rate / (ops_per_step * S / R) symbols/s,
+compared against the measured kernel rate (tools/bench_rotated_variants
+numbers).  If measured/predicted is near 1 the single-chip chapter is
+closed; a large gap names the headroom.
+
+Usage: python tools/roofline_rotated.py [--cpu]
+"""
+import sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import argparse
+import time
+
+import numpy as np
+
+from cli_common import apply_platform
+
+
+def count_ops(R: int, saturating: bool, fast_bm: bool) -> dict:
+    """(S, B)-shaped full-tensor vector passes per trellis step in
+    rotated_pallas._make_kernel's unrolled body.  Sub-(S, B) work
+    ((1, B) rows, scalar gates) is excluded; axis-0 reductions are
+    counted as equivalent full passes (log-tree over sublanes ~ 2
+    passes for the renorm min, ~3 for the 32-way decision-word sum,
+    both conservative)."""
+    ops = {}
+    ops["partner rolls (bv, cv)"] = 2
+    ops["partner select"] = 1
+    ops["maskj (iota & dist != 0)"] = 2
+    if fast_bm:
+        # d = sum_r sgn_r * sym_r; e_self = (m + RA) - d;
+        # e_part = (partner + RA) + d
+        ops["branch metric (signed corr)"] = 1 + 3 * (R - 1)
+        ops["e_self / e_part"] = 4
+    else:
+        # bm = sum_r |bt_r - sym_r|; e_self = m + bm;
+        # e_part = partner + (max_error - bm)
+        ops["branch metric (abs-diff)"] = 2 + 3 * (R - 1)
+        ops["e_self / e_part"] = 3
+    if saturating:
+        ops["saturation clamps"] = 2
+    else:
+        ops["wrap masks"] = 2
+    ops["diff + 2 compares"] = 3
+    ops["nm select tree"] = 3
+    ops["dbit (2 converts + select)"] = 3
+    ops["renorm min-reduce (~2 passes)"] = 2
+    ops["metric write (sub + live mask)"] = 2
+    ops["decision pack (shift + 32-sum, ~4 passes)"] = 4
+    return ops
+
+
+def main():
+    apply_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=64)
+    ap.add_argument("--cols", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    on_tpu = jax.default_backend() == "tpu"
+    S, B, ITERS = args.rows, args.cols, args.iters
+
+    # --- empirical ceiling: ACS-flavoured dependent chain -----------
+    # 8 full (S, B) passes per iter: roll, add, min, cmp, select, sub,
+    # cmp, select — the rotated body's op mix, chained so nothing folds.
+    def kernel(x_ref, o_ref):
+        c9 = jnp.int32(9)
+
+        def body(i, v):
+            p = pltpu.roll(v, 1, 0) if on_tpu else jnp.roll(v, 1, 0)
+            a = v + x_ref[...]
+            a = jnp.minimum(a, c9 + i)
+            sel = a > p
+            a = jnp.where(sel, p, a)
+            d = a - v
+            sel2 = d >= 0
+            return jnp.where(sel2, a, v + 1)
+
+        o_ref[...] = jax.lax.fori_loop(0, ITERS, body, x_ref[...])
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 3, (S, B)),
+                    jnp.int32)
+    call = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((S, B), jnp.int32),
+        interpret=not on_tpu)
+
+    def make(reps):
+        @jax.jit
+        def run(x):
+            def body(i, v):
+                return call(v)
+            v = jax.lax.fori_loop(0, reps, body, x)
+            return v[0, 0]
+        return run
+
+    n1, n2 = (8, 64) if on_tpu else (1, 2)
+    f1, f2 = make(n1), make(n2)
+    jax.device_get(f1(x)); jax.device_get(f2(x))
+    vals = []
+    for _ in range(5 if on_tpu else 1):
+        t0 = time.perf_counter(); jax.device_get(f1(x))
+        t1 = time.perf_counter(); jax.device_get(f2(x))
+        t2 = time.perf_counter()
+        vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    per_call = float(np.median(vals))
+    PASSES = 8
+    vpu_rate = S * B * ITERS * PASSES / per_call
+    print(f"VPU chain ({S}x{B} i32, {ITERS} iters x {PASSES} passes): "
+          f"{per_call*1e3:.3f} ms/call -> {vpu_rate/1e12:.3f} T elem-ops/s")
+
+    # --- static counts + prediction ---------------------------------
+    from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
+    from viterbidecodercpp_tpu.ops import jax_core
+
+    for name, mode, fast_bm, measured in [
+            ("Voyager", "SOFT8", False, None),
+            ("Voyager", "SOFT8", True, None),
+            ("CDMA IS-95A", "SOFT8", False, None)]:
+        code = get_code(name)
+        config = get_decode_config(DecodeType(mode), code.R)
+        spec = jax_core.make_static_spec(code, config)
+        ops = count_ops(spec.R, spec.saturating, fast_bm)
+        total = sum(ops.values())
+        # ops/step are (S, B)-shaped; each decoded bit costs R symbols
+        pred = vpu_rate / (total * spec.S) * spec.R
+        tag = "fast_bm" if fast_bm else "absdiff"
+        print(f"\n{name} {mode} {tag}: {total} (S,B)-passes/step "
+              f"(S={spec.S}, R={spec.R})")
+        for k, v in ops.items():
+            print(f"    {v:2d}  {k}")
+        print(f"  predicted ceiling {pred/1e6:8.1f} Msym/s "
+              f"(= vpu_rate / (passes*S) * R)")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,9 @@ shift $((OPTIND - 1))
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
 
 probe() {
-    timeout -k 10 90 python -c \
+    # 240 s: a healthy-but-cold tunnel measured 116 s for one trivial
+    # dispatch (2026-08-20); the old 90 s ceiling read "slow" as "down".
+    timeout -k 10 240 python -c \
         "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" \
         2>"$1"
 }

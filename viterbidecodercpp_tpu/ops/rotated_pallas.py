@@ -60,17 +60,18 @@ ROTATED_MIN_STATES = 64
 
 def supports(spec: StaticSpec) -> bool:
     """True iff the rotated kernel handles this spec: state count in
-    range AND some (chunks, batch-block) geometry fits the scoped-VMEM
-    stack budget (the statically-unrolled body's temporaries live on
-    Mosaic's 16 MiB kernel stack; specs where even the minimum-aligned
-    chunk count at a single lane tile overflows — e.g. K=11 R=1/3,
-    W=32, TB floor 40, measured 18.6 MiB — fall back to the lane
-    kernel)."""
+    range AND a geometry fits — either under Mosaic's default 16 MiB
+    scoped-vmem ceiling (the round-4 adopted configurations, untouched)
+    or under a raised ``vmem_limit_bytes`` (the round-5 extension: the
+    statically-unrolled body's stack was probed on hardware across the
+    whole class, tools/probe_rotated_stack.py 2026-08-20, and even the
+    heaviest admissible spec — S=4096, W=128 — measures 58.7 MiB at a
+    single lane tile, well under the v5e's 128 MiB physical VMEM; the
+    kernel requests a limit from the conservative bound in
+    :func:`_stack_bound`, capped at 100 MiB)."""
     if not ROTATED_MIN_STATES <= spec.S <= jax_core.MAX_LANE_STATES:
         return False
-    cmin = _chunk_step(spec)
-    return _stack_est(spec, cmin * (spec.K - 1), LANE_BATCH) \
-        <= _VMEM_STACK_BUDGET
+    return _pick_vmem_limit(spec, _pick_chunks(spec, None)) is not False
 
 
 def _slot_bt(spec: StaticSpec) -> np.ndarray:
@@ -110,6 +111,37 @@ _VMEM_STACK_BUDGET = 12 * 1024 * 1024
 def _stack_est(spec: StaticSpec, TB: int, BB: int) -> float:
     c = 2.5 * (1.0 + spec.W / 64.0)
     return c * TB * spec.S * BB
+
+
+# Round-5 extension: specs the 16 MiB default strands are admitted by
+# raising Mosaic's scoped-vmem ceiling instead (pltpu.CompilerParams
+# vmem_limit_bytes; v5e has 128 MiB physical VMEM).  The request is
+# sized by a conservative upper bound fit over the 2026-08-20 hardware
+# probe sweep (tools/probe_rotated_stack.py, evidence/
+# 20260820T050818Z_rotated_stack_probe.log): the real stack measures
+# 83-158 bytes per (S x BB) element across R=2..4, W=2..128,
+# TB=8..160 — roughly linear in R, nearly flat in TB (the round-4
+# TB-linear model had the wrong shape; K=11 R=1/3 measured 18.50 MiB
+# at TB=20 vs 18.6 at TB=40).
+_VMEM_LIMIT_CAP = 100 * 1024 * 1024
+_BLOCK_HEADROOM = 12 * 1024 * 1024     # double-buffered DMA blocks etc.
+
+
+def _stack_bound(spec: StaticSpec, TB: int, BB: int) -> float:
+    return (120.0 + 24.0 * spec.R + 0.3 * TB) * spec.S * BB
+
+
+def _pick_vmem_limit(spec: StaticSpec, chunks: int):
+    """None when the default 16 MiB ceiling suffices (the adopted
+    round-4 geometries — unchanged), an int vmem_limit_bytes when the
+    raised-limit path admits the spec, False when nothing fits."""
+    TB = chunks * (spec.K - 1)
+    if _stack_est(spec, TB, LANE_BATCH) <= _VMEM_STACK_BUDGET:
+        return None
+    bound = _stack_bound(spec, TB, LANE_BATCH)
+    if bound + _BLOCK_HEADROOM > _VMEM_LIMIT_CAP:
+        return False
+    return int(bound + _BLOCK_HEADROOM)
 
 
 def _chunk_step(spec: StaticSpec) -> int:
@@ -256,17 +288,22 @@ def _make_kernel(spec: StaticSpec, chunks: int, total_steps: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
                         symbols: jnp.ndarray, chunks: int,
                         total_steps: int, interpret: bool,
-                        fast_bm: bool = False
+                        fast_bm: bool = False,
+                        vmem_limit_bytes: Optional[int] = None,
+                        batch_block: Optional[int] = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """metrics: (S, B) i32 SLOT layout (phase 0 == state order);
     symbols: (T_pad * R, B) i32 column rows, T_pad % (chunks * n) == 0.
     Returns (metrics (S, B) slot layout at phase T_pad % n, packed
     slot-order (T_pad * W, B), acc (1, B)).  ``fast_bm`` requires the
-    caller to have checked the symmetric-amplitude identity."""
+    caller to have checked the symmetric-amplitude identity.
+    ``vmem_limit_bytes`` overrides Mosaic's default 16 MiB scoped-vmem
+    ceiling (the kernel stack must fit under it; v5e has 128 MiB of
+    physical VMEM)."""
     n = spec.K - 1
     S, B = metrics.shape
     W = spec.W
@@ -278,7 +315,12 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
     # Batch rides the OUTER grid dim (blocks are independent columns);
     # time sweeps the inner dim so the metric/acc carry blocks stay
     # resident per batch block.
-    BB = _pick_batch_block(spec, chunks, B)
+    BB = batch_block or _pick_batch_block(spec, chunks, B)
+    assert B % BB == 0
+    params = {}
+    if vmem_limit_bytes is not None and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     return pl.pallas_call(
         kernel,
         grid=(B // BB, T_pad // TB),
@@ -298,6 +340,7 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         interpret=interpret,
+        **params,
     )(bt, metrics, symbols)
 
 
@@ -339,6 +382,8 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
         fast_bm = False    # measure-before-default (PERF.md discipline)
     fast_bm = bool(fast_bm) and ident_ok
     chunks = _pick_chunks(spec, chunks)
+    vmem_limit = _pick_vmem_limit(spec, chunks)
+    assert vmem_limit is not False, "caller must gate on supports()"
     TB = chunks * n
     T_pad = -(-max(T, 1) // TB) * TB
     B_pad = -(-B // LANE_BATCH) * LANE_BATCH
@@ -349,7 +394,8 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     m = jnp.pad(metrics.astype(jnp.int32), ((0, 0), (0, B_pad - B)))
 
     m2, packed, acc = _acs_rotated_padded(spec, m, cols, chunks, T,
-                                          bool(interpret), fast_bm)
+                                          bool(interpret), fast_bm,
+                                          vmem_limit)
     # dead steps (live-masked) leave the metric layout at age T % n
     perm = _rotr(np.arange(S), T % n, n)
     m2 = m2[jnp.asarray(perm), :B]
