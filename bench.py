@@ -60,10 +60,12 @@ def _probe_device(timeout_s):
     return False, (tail[-1][:300] if tail else f"probe rc={r.returncode}")
 
 
-def _probe_with_retry(sleeps=(0, 30, 60, 120), timeout_s=90):
-    """Bounded retry/backoff: ~9.5 min worst case (210 s of sleeps +
-    up to 4 x 90 s hung probes), then give up with the last failure
-    detail."""
+def _probe_with_retry(sleeps=(0, 30, 60, 120), timeout_s=240):
+    """Bounded retry/backoff: ~20 min worst case (210 s of sleeps +
+    up to 4 x 240 s hung probes), then give up with the last failure
+    detail.  240 s per probe: a healthy-but-cold tunnel measured 116 s
+    for one trivial dispatch (2026-08-20); the old 90 s ceiling read
+    "slow" as "down"."""
     detail = "no attempts"
     for i, pause in enumerate(sleeps):
         if pause:

@@ -179,7 +179,8 @@ def test_raised_limit_admits_k11():
     est = rotated_pallas._stack_est(spec, chunks * (K - 1),
                                     rotated_pallas.LANE_BATCH)
     assert est > rotated_pallas._VMEM_STACK_BUDGET   # default strands it
-    limit = rotated_pallas._pick_vmem_limit(spec, chunks)
+    limit = rotated_pallas._pick_vmem_limit(spec, chunks * (K - 1),
+                                            rotated_pallas.LANE_BATCH)
     assert isinstance(limit, int)
     assert 16 * 1024 * 1024 < limit <= rotated_pallas._VMEM_LIMIT_CAP
     assert rotated_pallas.supports(spec)
@@ -208,7 +209,8 @@ def test_vmem_cap_rejects_heaviest():
     spec = jax_core.make_static_spec(
         code, get_decode_config(DecodeType.SOFT8, code.R))
     chunks = rotated_pallas._pick_chunks(spec, None)
-    assert rotated_pallas._pick_vmem_limit(spec, chunks) is False
+    assert rotated_pallas._pick_vmem_limit(
+        spec, chunks * (K - 1), rotated_pallas.LANE_BATCH) is False
     assert not rotated_pallas.supports(spec)
     dp = ViterbiDecoder(code, "SOFT8", backend="pallas")
     assert not dp._rotated and not dp._plane

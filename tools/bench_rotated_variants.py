@@ -67,12 +67,14 @@ def main():
             vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
         return float(np.median(vals))
 
-    arms = [("absdiff (default)", dict(fast_bm=False)),
-            ("fast_bm", dict(fast_bm=True)),
-            ("fast_bm chunks=8", dict(fast_bm=True, chunks=8)),
-            ("absdiff chunks=8", dict(fast_bm=False, chunks=8)),
-            ("fast_bm chunks=16", dict(fast_bm=True, chunks=16)),
-            ("absdiff chunks=16", dict(fast_bm=False, chunks=16))]
+    arms = [("absdiff (default)", dict()),
+            ("absdiff chunks=4", dict(chunks=4)),
+            ("absdiff chunks=8", dict(chunks=8)),
+            ("absdiff chunks=16", dict(chunks=16)),
+            ("absdiff chunks=32", dict(chunks=32)),
+            ("fast_bm (default)", dict(fast_bm=True)),
+            ("absdiff c16 BB=256", dict(chunks=16, batch_block=256)),
+            ("absdiff c16 BB=512", dict(chunks=16, batch_block=512))]
     print(f"{code.name} {args.mode} B={B} T={T} "
           f"(update only, marginal protocol)")
     for name, kw in arms:

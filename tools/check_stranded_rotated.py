@@ -58,7 +58,8 @@ def main():
         config = get_decode_config(DecodeType.SOFT8, code.R)
         spec = jax_core.make_static_spec(code, config)
         chunks = rotated_pallas._pick_chunks(spec, None)
-        limit = rotated_pallas._pick_vmem_limit(spec, chunks)
+        limit = rotated_pallas._pick_vmem_limit(
+            spec, chunks * (code.K - 1), rotated_pallas.LANE_BATCH)
         assert isinstance(limit, int), (code.name, limit)
         print(f"{code.name}: S={spec.S} W={spec.W} chunks={chunks} "
               f"vmem_limit={limit/2**20:.1f}M")

@@ -83,13 +83,20 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     S, B, ITERS = args.rows, args.cols, args.iters
 
-    # --- empirical ceiling: ACS-flavoured dependent chain -----------
-    # 8 full (S, B) passes per iter: roll, add, min, cmp, select, sub,
-    # cmp, select — the rotated body's op mix, chained so nothing folds.
+    # --- empirical ceiling: ACS-flavoured op mix, 4 independent
+    # dependency chains (the ACS body has the same ILP shape: the four
+    # butterfly candidates / select trees are mutually independent
+    # within a step).  A single chain measures op LATENCY, not the
+    # issue ceiling — the first version of this benchmark did exactly
+    # that and read 1.64 T elem-ops/s where the production kernel
+    # demonstrably sustains >3 T.  8 full (S, B) passes per chain per
+    # iter: roll, add, min, cmp, select, sub, cmp, select.
+    NCHAINS = 4
+
     def kernel(x_ref, o_ref):
         c9 = jnp.int32(9)
 
-        def body(i, v):
+        def step_one(v, i):
             p = pltpu.roll(v, 1, 0) if on_tpu else jnp.roll(v, 1, 0)
             a = v + x_ref[...]
             a = jnp.minimum(a, c9 + i)
@@ -99,7 +106,16 @@ def main():
             sel2 = d >= 0
             return jnp.where(sel2, a, v + 1)
 
-        o_ref[...] = jax.lax.fori_loop(0, ITERS, body, x_ref[...])
+        def body(i, vs):
+            return tuple(step_one(v, i + k) for k, v in enumerate(vs))
+
+        vs = jax.lax.fori_loop(
+            0, ITERS, body,
+            tuple(x_ref[...] + k for k in range(NCHAINS)))
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc + v
+        o_ref[...] = acc
 
     x = jnp.asarray(np.random.RandomState(0).randint(0, 3, (S, B)),
                     jnp.int32)
@@ -126,9 +142,10 @@ def main():
         t2 = time.perf_counter()
         vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
     per_call = float(np.median(vals))
-    PASSES = 8
+    PASSES = 8 * NCHAINS
     vpu_rate = S * B * ITERS * PASSES / per_call
-    print(f"VPU chain ({S}x{B} i32, {ITERS} iters x {PASSES} passes): "
+    print(f"VPU chain ({S}x{B} i32, {ITERS} iters x {PASSES} passes, "
+          f"{NCHAINS} independent chains): "
           f"{per_call*1e3:.3f} ms/call -> {vpu_rate/1e12:.3f} T elem-ops/s")
 
     # --- static counts + prediction ---------------------------------

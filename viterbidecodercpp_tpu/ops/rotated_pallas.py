@@ -50,11 +50,15 @@ LANE_BATCH = 128
 
 # The K=7 class (S=64) also wins on the rotated layout once the chunk
 # loop is statically unrolled (the pre-adoption fori_loop kernel could
-# not compile there): Voyager SOFT8 B=1024 T=2048 measured 3444.6 vs
-# 1782.7 Msym/s kernel-only and 2791.9 vs 2163.6 with chainback
-# (tpu_logs 20260819T052028Z_rotk7*, queue v3) - the in-place butterfly
-# deletes the (H, 2, B) interleave the lane kernel pays per step.
-# Above MAX_LANE_STATES the plane kernel takes over.
+# not compile there): round 4 measured Voyager SOFT8 B=1024 T=2048 at
+# 3444.6 vs 1782.7 Msym/s kernel-only and 2791.9 vs 2163.6 with
+# chainback (that session log was lost uncommitted; the committed
+# re-measurement at the same shapes is evidence/
+# 20260820T042725Z_fastbm_voyager_soft8.log, 3057.5 Msym/s update-only
+# at the round-4 default geometry, 5037.5 at the round-5 chunks=16
+# default) - the in-place butterfly deletes the (H, 2, B) interleave
+# the lane kernel pays per step.  Above MAX_LANE_STATES the plane
+# kernel takes over.
 ROTATED_MIN_STATES = 64
 
 
@@ -71,7 +75,10 @@ def supports(spec: StaticSpec) -> bool:
     :func:`_stack_bound`, capped at 100 MiB)."""
     if not ROTATED_MIN_STATES <= spec.S <= jax_core.MAX_LANE_STATES:
         return False
-    return _pick_vmem_limit(spec, _pick_chunks(spec, None)) is not False
+    chunks = _pick_chunks(spec, None)
+    TB = chunks * (spec.K - 1)
+    BB = _pick_batch_block(spec, chunks, LANE_BATCH)
+    return _pick_vmem_limit(spec, TB, BB) is not False
 
 
 def _slot_bt(spec: StaticSpec) -> np.ndarray:
@@ -131,17 +138,20 @@ def _stack_bound(spec: StaticSpec, TB: int, BB: int) -> float:
     return (120.0 + 24.0 * spec.R + 0.3 * TB) * spec.S * BB
 
 
-def _pick_vmem_limit(spec: StaticSpec, chunks: int):
-    """None when the default 16 MiB ceiling suffices (the adopted
-    round-4 geometries — unchanged), an int vmem_limit_bytes when the
-    raised-limit path admits the spec, False when nothing fits."""
-    TB = chunks * (spec.K - 1)
-    if _stack_est(spec, TB, LANE_BATCH) <= _VMEM_STACK_BUDGET:
-        return None
-    bound = _stack_bound(spec, TB, LANE_BATCH)
-    if bound + _BLOCK_HEADROOM > _VMEM_LIMIT_CAP:
+def _pick_vmem_limit(spec: StaticSpec, TB: int, BB: int):
+    """None when the conservative bound already fits Mosaic's default
+    16 MiB ceiling, an int vmem_limit_bytes when a raised ceiling
+    admits the geometry, False when the bound exceeds the cap.  Always
+    bound-based: the old TB-linear estimate under-predicted real
+    stacks (CDMA 2000 fast_bm at BB=512 measured 18.05M where the
+    estimate said 11.8M), so it is no longer trusted as the admission
+    gate — only as the geometry heuristic."""
+    bound = _stack_bound(spec, TB, BB) + _BLOCK_HEADROOM
+    if bound > _VMEM_LIMIT_CAP:
         return False
-    return int(bound + _BLOCK_HEADROOM)
+    if bound <= 16 * 1024 * 1024:
+        return None
+    return int(bound)
 
 
 def _chunk_step(spec: StaticSpec) -> int:
@@ -165,21 +175,33 @@ def _pick_batch_block(spec: StaticSpec, chunks: int, B_pad: int) -> int:
     return LANE_BATCH
 
 
-def _pick_chunks(spec: StaticSpec, requested: Optional[int]) -> int:
+def _pick_chunks(spec: StaticSpec, requested: Optional[int],
+                 T: Optional[int] = None) -> int:
     """Trellis-chunk count per grid step (TB = chunks * n steps).
 
     An explicit request is rounded up to the alignment step and
-    honoured as-is (ablation use).  The default (4, measured best at
-    K=9, tools/ablate_k9_rotated.py) additionally backs off by the
-    alignment step while the stack model says a single lane-tile batch
-    block would overflow scoped VMEM."""
+    honoured as-is (ablation use).  The default is state-count-tuned
+    from the 2026-08-20 sweeps (tools/bench_rotated_variants.py,
+    evidence/20260820T0*_chunks_sweep_*.log): 16 for the S<=128 class
+    (+53% Voyager SOFT8 / +62% SOFT16 / +40% DAB / +6% LTE over the
+    round-4 default of 4, chunks=32 a flat continuation) and 8 for
+    S>=256 (CDMA IS-95A best at 8, 1412 vs 1333 Msym/s; CDMA 2000
+    within 3% of its best-at-4 while 16 loses 16%) — capped so one
+    grid block never exceeds the live symbol count (short/streaming
+    updates keep small bodies), and backed off by the alignment step
+    while the conservative stack bound says even a single lane-tile
+    batch block would exceed the vmem-limit cap (K=13-class wide
+    planes)."""
     n = spec.K - 1
     step = _chunk_step(spec)
     if requested is not None:
         return -(-max(1, int(requested)) // step) * step
-    chunks = -(-4 // step) * step
+    chunks = 16 if spec.S <= 128 else 8
+    if T is not None:
+        chunks = min(chunks, -(-max(T, 1) // n))
+    chunks = -(-chunks // step) * step
     while chunks > step and \
-            _stack_est(spec, chunks * n, LANE_BATCH) > _VMEM_STACK_BUDGET:
+            _pick_vmem_limit(spec, chunks * n, LANE_BATCH) is False:
         chunks -= step
     return chunks
 
@@ -317,6 +339,10 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
     # resident per batch block.
     BB = batch_block or _pick_batch_block(spec, chunks, B)
     assert B % BB == 0
+    if vmem_limit_bytes is None:
+        limit = _pick_vmem_limit(spec, TB, BB)
+        assert limit is not False, "caller must gate on supports()"
+        vmem_limit_bytes = limit
     params = {}
     if vmem_limit_bytes is not None and not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
@@ -347,7 +373,8 @@ def _acs_rotated_padded(spec: StaticSpec, metrics: jnp.ndarray,
 def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
                 symbols: jnp.ndarray, *, chunks: Optional[int] = None,
                 interpret: Optional[bool] = None,
-                fast_bm: Optional[bool] = None
+                fast_bm: Optional[bool] = None,
+                batch_block: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`acs_pallas.acs_pallas` on the
     mid-size state counts (same contract, slot-order decision rows):
@@ -365,9 +392,15 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     exactly as the plane path does, and the slot-order chainback
     consumes it.
 
-    ``fast_bm`` (default ON where valid): signed-correlation branch
-    metrics — |bt - sym| == A - sign(bt)*sym for the symmetric
-    regimes, saving the per-tap abs-diff.  Bit-exact; auto-disabled
+    ``fast_bm`` (default OFF — measured and rejected): signed-
+    correlation branch metrics, |bt - sym| == A - sign(bt)*sym for the
+    symmetric regimes.  Bit-exact, kept as an ablation arm; the
+    2026-08-20 TPU sweep (tools/bench_rotated_variants.py, evidence/
+    20260820T0*_fastbm_*.log) measured it LOSING to abs-diff at the
+    tuned chunk count on every rotated-class code (Voyager SOFT8 4419
+    vs 5037 Msym/s at chunks=16, CDMA IS-95A 913 vs 1359 at the
+    default) — on this geometry the (S,1)x(1,B) signed-broadcast
+    multiply costs more than the abs-diff it replaces.  Auto-disabled
     when the amplitude identity does not hold (asymmetric soft range
     or a custom max_error)."""
     n = spec.K - 1
@@ -379,11 +412,9 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
     amp = jax_core.symmetric_amplitude(spec)
     ident_ok = amp is not None and spec.max_error == 2 * spec.R * amp
     if fast_bm is None:
-        fast_bm = False    # measure-before-default (PERF.md discipline)
+        fast_bm = False    # measured 2026-08-20: loses (see docstring)
     fast_bm = bool(fast_bm) and ident_ok
-    chunks = _pick_chunks(spec, chunks)
-    vmem_limit = _pick_vmem_limit(spec, chunks)
-    assert vmem_limit is not False, "caller must gate on supports()"
+    chunks = _pick_chunks(spec, chunks, T)
     TB = chunks * n
     T_pad = -(-max(T, 1) // TB) * TB
     B_pad = -(-B // LANE_BATCH) * LANE_BATCH
@@ -395,7 +426,7 @@ def acs_rotated(spec: StaticSpec, metrics: jnp.ndarray,
 
     m2, packed, acc = _acs_rotated_padded(spec, m, cols, chunks, T,
                                           bool(interpret), fast_bm,
-                                          vmem_limit)
+                                          None, batch_block)
     # dead steps (live-masked) leave the metric layout at age T % n
     perm = _rotr(np.arange(S), T % n, n)
     m2 = m2[jnp.asarray(perm), :B]
