@@ -92,6 +92,11 @@ def main():
     # demonstrably sustains >3 T.  8 full (S, B) passes per chain per
     # iter: roll, add, min, cmp, select, sub, cmp, select.
     NCHAINS = 4
+    UNROLL = 8   # statically-unrolled steps per fori iteration — the
+    # production kernel unrolls its whole chunk body, so the benchmark
+    # must amortise the loop overhead the same way (at UNROLL=1 a
+    # 1-op body measured 0.53 T elem-ops/s vs the 32-op mix's 1.58 T:
+    # loop overhead, not the ALUs, was the limiter).
 
     def kernel(x_ref, o_ref):
         c9 = jnp.int32(9)
@@ -107,10 +112,13 @@ def main():
             return jnp.where(sel2, a, v + 1)
 
         def body(i, vs):
-            return tuple(step_one(v, i + k) for k, v in enumerate(vs))
+            for u in range(UNROLL):
+                vs = tuple(step_one(v, i + u + k)
+                           for k, v in enumerate(vs))
+            return vs
 
         vs = jax.lax.fori_loop(
-            0, ITERS, body,
+            0, ITERS // UNROLL, body,
             tuple(x_ref[...] + k for k in range(NCHAINS)))
         acc = vs[0]
         for v in vs[1:]:
@@ -119,34 +127,71 @@ def main():
 
     x = jnp.asarray(np.random.RandomState(0).randint(0, 3, (S, B)),
                     jnp.int32)
-    call = pl.pallas_call(
+
+    def measure(call):
+        def make(reps):
+            @jax.jit
+            def run(x):
+                def body(i, v):
+                    return call(v)
+                v = jax.lax.fori_loop(0, reps, body, x)
+                return v[0, 0]
+            return run
+
+        n1, n2 = (8, 64) if on_tpu else (1, 2)
+        f1, f2 = make(n1), make(n2)
+        jax.device_get(f1(x)); jax.device_get(f2(x))
+        vals = []
+        for _ in range(5 if on_tpu else 1):
+            t0 = time.perf_counter(); jax.device_get(f1(x))
+            t1 = time.perf_counter(); jax.device_get(f2(x))
+            t2 = time.perf_counter()
+            vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        return float(np.median(vals))
+
+    per_call = measure(pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((S, B), jnp.int32),
-        interpret=not on_tpu)
-
-    def make(reps):
-        @jax.jit
-        def run(x):
-            def body(i, v):
-                return call(v)
-            v = jax.lax.fori_loop(0, reps, body, x)
-            return v[0, 0]
-        return run
-
-    n1, n2 = (8, 64) if on_tpu else (1, 2)
-    f1, f2 = make(n1), make(n2)
-    jax.device_get(f1(x)); jax.device_get(f2(x))
-    vals = []
-    for _ in range(5 if on_tpu else 1):
-        t0 = time.perf_counter(); jax.device_get(f1(x))
-        t1 = time.perf_counter(); jax.device_get(f2(x))
-        t2 = time.perf_counter()
-        vals.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    per_call = float(np.median(vals))
+        interpret=not on_tpu))
     PASSES = 8 * NCHAINS
     vpu_rate = S * B * ITERS * PASSES / per_call
     print(f"VPU chain ({S}x{B} i32, {ITERS} iters x {PASSES} passes, "
           f"{NCHAINS} independent chains): "
           f"{per_call*1e3:.3f} ms/call -> {vpu_rate/1e12:.3f} T elem-ops/s")
+
+    # --- per-op-type rates: which ops set the mixed-chain ceiling ----
+    def one_op_kernel(opf, nops):
+        def k(x_ref, o_ref):
+            def body(i, vs):
+                for u in range(UNROLL):
+                    vs = tuple(opf(v, x_ref[...], i + u + kk)
+                               for kk, v in enumerate(vs))
+                return vs
+            vs = jax.lax.fori_loop(
+                0, ITERS // UNROLL, body,
+                tuple(x_ref[...] + kk for kk in range(NCHAINS)))
+            acc = vs[0]
+            for v in vs[1:]:
+                acc = acc + v
+            o_ref[...] = acc
+        return k, nops
+
+    rollf = (lambda v: pltpu.roll(v, 1, 0)) if on_tpu \
+        else (lambda v: jnp.roll(v, 1, 0))
+    op_arms = [
+        ("add", lambda v, xx, i: v + xx, 1),
+        ("min", lambda v, xx, i: jnp.minimum(v, xx + i), 1),
+        ("cmp+select", lambda v, xx, i: jnp.where(v > xx, xx, v + i), 3),
+        ("sublane roll", lambda v, xx, i: rollf(v) + i, 2),
+        ("abs-diff", lambda v, xx, i: jnp.abs(v - (xx + i)), 2),
+    ]
+    for nm, opf, nops in op_arms:
+        k, _ = one_op_kernel(opf, nops)
+        pc = measure(pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((S, B), jnp.int32),
+            interpret=not on_tpu))
+        rate = S * B * ITERS * nops * NCHAINS / pc
+        print(f"  {nm:13s}: {pc*1e3:7.3f} ms/call -> "
+              f"{rate/1e12:.3f} T elem-ops/s ({nops} ops/iter/chain)")
 
     # --- static counts + prediction ---------------------------------
     from viterbidecodercpp_tpu import DecodeType, get_code, get_decode_config
