@@ -18,8 +18,10 @@ cd "$(dirname "$0")/.."
 
 if [ "$1" = "--tpu" ]; then
     # fail fast (and loudly) if the tunnel is wedged instead of hanging
-    # the whole gate: a trivial dispatch must finish within 90 s
-    timeout -k 10 90 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" \
+    # the whole gate: a trivial dispatch must finish within 240 s (a
+    # healthy-but-cold tunnel measured 116 s on 2026-08-20; 90 s read
+    # "slow" as "down")
+    timeout -k 10 240 python -c "import jax; jax.device_get(__import__('jax.numpy', fromlist=['x']).ones((8, 128)).sum())" \
         || { echo "ci_check --tpu: TPU unreachable (probe hung/failed)"; exit 3; }
 
     VITERBI_TEST_TPU=1 python -m pytest tests/ -q
