@@ -433,12 +433,26 @@ def _acs_pallas_padded(spec: StaticSpec, metrics: jnp.ndarray,
         bytes_accessed=symbols.size * 4 + T_pad * W * B * 4,
         transcendentals=0,
     )
+    # Mosaic's scoped-vmem ceiling defaults to 16 MiB; the kernel's
+    # stack grows with the resident metric plane and measured 17.12M
+    # at S*B = 524288 elements (~34 B/elem, K=11-class shapes) —
+    # compile-OOMing the big-state tail of the lane range (round-5
+    # hardware gate caught S=4096 at B=128).  Mirror rotated_pallas:
+    # raise the ceiling from a conservative bound when the default
+    # would be exceeded; small/production shapes (e.g. S=64 at
+    # B=1024, ~2.6M bound) stay under the default and are untouched.
+    params = {}
+    stack_bound = 40.0 * S * B + 12 * 1024 * 1024
+    if not interpret and stack_bound > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 * 1024 * 1024, stack_bound)))
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         cost_estimate=cost,
         interpret=interpret,
+        **params,
     )(*const_vals, metrics, symbols)
 
 
